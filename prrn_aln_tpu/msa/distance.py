@@ -1,0 +1,169 @@
+"""Pairwise distance matrices.
+
+Distance semantics follow the reference's score-based mode (``DynScr``):
+
+    d(i,j) = 100 * (1 - (score_ij + u*|la-lb|/2) / sqrt(self_i * self_j))
+
+with self_i the matrix-diagonal self score (reference: src/aln2.cc:289-335
+alnscore2dist, src/phyl.cc:221-259 dpscore/selfscr; the 100x scaling at
+src/phyl.cc:250).
+
+The all-pairs score computation is one batched wavefront-kernel launch —
+the TPU-native replacement for the reference's CalcServer IM_EVRY
+thread pool (P1 in SURVEY.md §2.7) — and shards the pair list across
+devices when a mesh is provided.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.window import stripe
+from ..ops.pairwise import wavefront_scores
+
+
+def condensed_index(i: int, j: int) -> int:
+    """Index into the condensed pair array (reference clib elem())."""
+    if i > j:
+        i, j = j, i
+    return j * (j - 1) // 2 + i
+
+
+def all_pairs_scores(seqs: list[np.ndarray], mtx: np.ndarray,
+                     u: float, v: float, sh: int,
+                     mesh: jax.sharding.Mesh | None = None) -> np.ndarray:
+    """Batched wavefront scores for all N*(N-1)/2 pairs.
+
+    Returns the condensed score array ordered like the reference's
+    elem(i,j) = j*(j-1)/2 + i (i < j).
+    """
+    n = len(seqs)
+    pairs = [(i, j) for j in range(1, n) for i in range(j)]
+    lens = [len(s) for s in seqs]
+    ma = max(lens)
+    padded = np.zeros((n, ma), np.int32)
+    for k, s in enumerate(seqs):
+        padded[k, :len(s)] = s
+
+    B = len(pairs)
+    ai = np.array([p[0] for p in pairs])
+    bi = np.array([p[1] for p in pairs])
+    la = np.array([lens[i] for i in ai], np.int32)
+    lb = np.array([lens[j] for j in bi], np.int32)
+    wdws = [stripe(lens[i], lens[j], sh) for i, j in pairs]
+    lw = np.array([w.lw for w in wdws], np.int32)
+    up = np.array([w.up for w in wdws], np.int32)
+    nslot = int(max(w.width for w in wdws))
+    nsteps = int(max(la + lb - 1))
+
+    a_batch = padded[ai]
+    b_batch = padded[bi]
+    uv = np.full(B, u, np.float32)
+    vv = np.full(B, v, np.float32)
+    tg = np.ones(B, np.float32)
+    exg = np.zeros((B, 4), bool)
+
+    kwargs = dict(nslot=nslot, nsteps=nsteps, dim=mtx.shape[0], local=False)
+    if mesh is not None:
+        scores = _sharded_scores(mesh, a_batch, b_batch, la, lb, lw, up,
+                                 mtx, uv, vv, tg, exg, kwargs)
+    else:
+        scores = wavefront_scores(a_batch, b_batch, la, lb, lw, up,
+                                  mtx, uv, vv, tg, exg, **kwargs)
+    return np.asarray(scores)
+
+
+def _sharded_scores(mesh, a_batch, b_batch, la, lb, lw, up, mtx,
+                    uv, vv, tg, exg, kwargs):
+    """Shard the pair batch across the mesh's data axis; each device runs
+    its shard of the batched kernel, results gathered on host."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = mesh.devices.size
+    B = a_batch.shape[0]
+    pad = (-B) % ndev
+    def padb(x):
+        if pad == 0:
+            return x
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, widths)
+    batched = [padb(x) for x in (a_batch, b_batch, la, lb, lw, up,
+                                 uv, vv, tg, exg)]
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    batched = [jax.device_put(x, shard) for x in batched]
+    mtx_d = jax.device_put(mtx, repl)
+    a_b, b_b, la_, lb_, lw_, up_, u_, v_, t_, e_ = batched
+    out = wavefront_scores(a_b, b_b, la_, lb_, lw_, up_, mtx_d,
+                           u_, v_, t_, e_, **kwargs)
+    return np.asarray(out)[:B]
+
+
+def scores_to_dist(scores: np.ndarray, self_scores: np.ndarray,
+                   lens: np.ndarray, pairs: list[tuple[int, int]],
+                   u: float) -> np.ndarray:
+    """Condensed distances from condensed scores (alnscore2dist, x100)."""
+    d = np.empty(len(pairs), np.float64)
+    for k, (i, j) in enumerate(pairs):
+        denome = np.sqrt(self_scores[i] * self_scores[j])
+        scr = scores[k] + u * abs(int(lens[i]) - int(lens[j])) / 2.0
+        d[k] = 100.0 * (1.0 - scr / denome)
+    return d
+
+
+def distance_matrix(seqs: list[np.ndarray], mtx: np.ndarray,
+                    u: float, v: float, sh: int,
+                    mesh=None) -> np.ndarray:
+    """Condensed DynScr distance matrix for encoded sequences."""
+    n = len(seqs)
+    pairs = [(i, j) for j in range(1, n) for i in range(j)]
+    scores = all_pairs_scores(seqs, mtx, u, v, sh, mesh=mesh)
+    self_scores = np.array([float(mtx[s, s].sum()) for s in seqs])
+    lens = np.array([len(s) for s in seqs])
+    return scores_to_dist(scores, self_scores, lens, pairs, u)
+
+
+def pairdvn(msa: np.ndarray, i: int, j: int, gap_code: int = 1) -> float:
+    """Percent-divergence between two rows of an MSA (divseq.cc:44-74
+    pairdvn): matches/mismatches over non-gap columns plus a gap term
+    0.8*gap_events + 0.2*unpaired columns."""
+    a = msa[i]
+    b = msa[j]
+    mch = mmc = unp = gap = 0
+    gsi = gsj = 0
+    for x, y in zip(a, b):
+        if x <= gap_code:
+            if y > gap_code:
+                unp += 1
+                if gsi <= gsj:
+                    gap += 1
+                gsj = 0
+            gsi += 1
+        else:
+            if y <= gap_code:
+                unp += 1
+                if gsi >= gsj:
+                    gap += 1
+                gsj += 1
+            else:
+                if x == y:
+                    mch += 1
+                else:
+                    mmc += 1
+                gsj = 0
+            gsi = 0
+    gapunp = 0.8 * gap + 0.2 * unp
+    return 1.0 - mch / (gapunp + mch + mmc)
+
+
+def msa_distance_matrix(msa: np.ndarray) -> np.ndarray:
+    """Condensed pairdvn distances between all rows of an MSA."""
+    n = msa.shape[0]
+    out = np.empty(n * (n - 1) // 2, np.float64)
+    for j in range(1, n):
+        for i in range(j):
+            out[condensed_index(i, j)] = pairdvn(msa, i, j)
+    return out
