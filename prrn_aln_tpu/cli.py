@@ -1,0 +1,128 @@
+"""Command-line entry points: ``prrn`` (MSA) and ``aln`` (pairwise/group).
+
+Flag names follow the reference programs where implemented
+(readme_prrn.md / readme_aln.md); unimplemented reference flags error out
+explicitly rather than being silently ignored.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from . import alphabet as ab
+from . import io, scoring
+from .config import AlnParams, default_params
+from .msa.msa import msa_from_strings
+from .msa.progressive import align_pair
+from .msa.merge import merge_msas
+from .pipeline import build_msa
+
+
+def _out(msa, fmt: str, path=None):
+    if fmt == "fasta":
+        text = io.write_fasta(msa)
+    elif fmt == "clustal":
+        text = io.write_clustal(msa)
+    else:
+        text = io.write_native_block(msa)
+    if path:
+        from pathlib import Path
+        Path(path).write_text(text)
+    else:
+        sys.stdout.write(text)
+
+
+def prrn_main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="prrn",
+        description="TPU-native multiple sequence alignment with "
+                    "randomized iterative refinement")
+    p.add_argument("inputs", nargs="+", help="sequence files")
+    p.add_argument("-u", type=float, default=None, help="gap extension")
+    p.add_argument("-v", type=float, default=None, help="gap open")
+    p.add_argument("-w", type=int, default=None, help="band shoulder")
+    p.add_argument("-S", type=int, default=10, help="max outer iterations")
+    p.add_argument("-R", type=int, default=1, help="random seed (0 = none)")
+    p.add_argument("-I", type=int, default=1, help="refinement recycles")
+    p.add_argument("-F", choices=["native", "fasta", "clustal"],
+                   default="native", help="output format")
+    p.add_argument("-o", default=None, help="output file")
+    p.add_argument("-yp", type=int, default=None, help="PAM level")
+    args = p.parse_args(argv)
+
+    records = []
+    for f in args.inputs:
+        records += io.sniff_and_read(f)
+    if not records:
+        print("no sequences read", file=sys.stderr)
+        return 1
+    molc = ab.infer_molc(records[0].seq)
+    params = default_params(molc, "prrn")
+    over = {}
+    if args.u is not None:
+        over["u"] = args.u
+    if args.v is not None:
+        over["v"] = args.v
+    if args.w is not None:
+        over["sh"] = args.w
+    if args.yp is not None:
+        over["pam"] = args.yp
+    if over:
+        import dataclasses
+        params = dataclasses.replace(params, **over)
+
+    msa = build_msa(records, params=params, molc=molc, maxitr=args.S,
+                    randseed=args.R, refine=args.I > 0)
+    _out(msa, args.F, args.o)
+    return 0
+
+
+def aln_main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="aln",
+        description="TPU-native pairwise / group-to-group alignment")
+    p.add_argument("inputs", nargs=2, help="two sequence/MSA files")
+    p.add_argument("-u", type=float, default=None)
+    p.add_argument("-v", type=float, default=None)
+    p.add_argument("-w", type=int, default=None, help="band shoulder")
+    p.add_argument("-F", choices=["native", "fasta", "clustal"],
+                   default="native")
+    p.add_argument("-o", default=None)
+    p.add_argument("-yp", type=int, default=None, help="PAM level")
+    args = p.parse_args(argv)
+
+    groups = []
+    for f in args.inputs:
+        recs = io.sniff_and_read(f)
+        molc = ab.infer_molc(recs[0].seq)
+        groups.append(io.records_to_msa(recs, molc))
+    A, B = groups
+    params = default_params(A.molc, "aln")
+    over = {}
+    if args.u is not None:
+        over["u"] = args.u
+    if args.v is not None:
+        over["v"] = args.v
+    if args.w is not None:
+        over["sh"] = args.w
+    if args.yp is not None:
+        over["pam"] = args.yp
+    if over:
+        import dataclasses
+        params = dataclasses.replace(params, **over)
+    mtx, _ = scoring.build_matrix(A.molc, params)
+    score, skl, swapped = align_pair(A, B, mtx, u=params.u, v=params.v,
+                                     sh=params.sh)
+    if swapped:
+        A, B = B, A
+    merged = merge_msas(A, B, skl)
+    print(f"; Score = {score:.1f}", file=sys.stderr)
+    _out(merged, args.F, args.o)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(prrn_main())

@@ -1,0 +1,257 @@
+"""Doubly-nested randomized iterative refinement (the prrn core).
+
+Reproduces the reference's refinement cycle (reference: src/prrn5.cc
+rir/onecycle/divideseq :413-666, Prrn ctor :688-781, preprrn :786-839):
+
+* guide tree + three-point weights over the current MSA (phyl_pwt)
+* tree-edge bipartitions visited in mixed-congruential order (randiv)
+* per partition: split the MSA into two groups, drop each side's common
+  gap columns, re-score the existing mutual path, realign the two group
+  profiles with partition-relative weights (calcfact), and accept iff the
+  weighted score improves
+* stop after a full cycle (2N-3 partitions) without improvement, capped
+  at ``maxitr`` cycles
+
+TPU mapping: each candidate realignment is one group-DP launch; the
+speculative best-of-n thread fan-out (P3 in SURVEY §2.7) becomes a batch
+axis over partitions (deferred to the batched kernel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .. import alphabet as ab
+from .msa import Msa
+from .tree import Tree, upgma, calc_pair_weights
+from .distance import msa_distance_matrix
+from .progressive import select_swap
+from ..ops.window import stripe
+from ..ops.group_np import group_align_np
+from ..ops.group import group_align
+from ..ops.path_score import score_path, skl_to_moves
+from ..utils.crand import GlibcRand, McRand
+
+FEPS = 1e-7
+
+
+def flt(a: float, b: float) -> bool:
+    """Reference fuzzy less-than (cmn.h:61 lt)."""
+    return a < b - FEPS * max(1.0, abs(b))
+
+
+def leaves_under(tree: Tree, node: int) -> list[int]:
+    out, stack = [], [node]
+    while stack:
+        i = stack.pop()
+        if tree.is_leaf(i):
+            out.append(i)
+        else:
+            stack.append(tree.left[i])
+            stack.append(tree.right[i])
+    return sorted(out)
+
+
+def calcfact(tree: Tree, vol: np.ndarray, cur: np.ndarray,
+             node: int) -> tuple[float, np.ndarray]:
+    """Partition weight and partition-relative member weights
+    (prrn5.cc:414-440 childfact/calcfact)."""
+    n = tree.n_leaves
+    w = np.zeros(n)
+
+    def childfact(nd: int, fact: float):
+        stack = [nd]
+        while stack:
+            i = stack.pop()
+            if tree.is_leaf(i):
+                w[i] = vol[i] * fact
+            else:
+                stack.append(tree.left[i])
+                stack.append(tree.right[i])
+
+    pwt = cur[node]
+    childfact(node, 1.0 / vol[node])
+    fact = 1.0
+    nd = node
+    while tree.parent[nd] >= 0:
+        father = tree.parent[nd]
+        sib = tree.right[father] if tree.left[father] == nd else tree.left[father]
+        childfact(sib, fact / vol[father])
+        nd = father
+        fact *= cur[father]
+    return float(pwt), w
+
+
+def _tree_partitions(tree: Tree) -> list[list[int]]:
+    """Leaf sets for tids 0..2n-4 (randiv.cc fill_tree_tab/TREEDIV)."""
+    n = tree.n_leaves
+    return [leaves_under(tree, t) for t in range(2 * n - 3)]
+
+
+def _side_msa(joint: np.ndarray, rows: list[int], weights: np.ndarray,
+              names: list[str], molc: int, tgapf: float):
+    """Extract side rows, drop the side's all-gap columns; returns the
+    side Msa plus the joint-column occupancy mask."""
+    sub = joint[rows]
+    keep = (sub > ab.GAP).any(axis=0)
+    m = Msa(codes=sub[:, keep].copy(), molc=molc,
+            names=[names[r] for r in rows],
+            weight=weights.copy(), tgapf=tgapf)
+    return m, keep
+
+
+def _paths_from_masks(keep0: np.ndarray, keep1: np.ndarray):
+    """Current mutual path between the two sides (gap2skl semantics):
+    per joint column, diag if both occupied, vert if only side0, hori if
+    only side1; columns empty on both sides are dropped."""
+    moves = []
+    for a, b in zip(keep0, keep1):
+        if a and b:
+            moves.append(0)
+        elif a:
+            moves.append(1)
+        elif b:
+            moves.append(2)
+    return moves
+
+
+def moves_to_skl(moves):
+    skl = [(0, 0)]
+    m = n = 0
+    prev = None
+    for mv in moves:
+        if prev is not None and mv != prev:
+            skl.append((m, n))
+        if mv == 0:
+            m += 1
+            n += 1
+        elif mv == 1:
+            m += 1
+        else:
+            n += 1
+        prev = mv
+    skl.append((m, n))
+    return skl
+
+
+@dataclasses.dataclass
+class RefineResult:
+    msa: Msa
+    initial_sp: float | None
+    improvements: int
+    iterations: int
+
+
+def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
+               maxitr: int = 10, randseed: int = 1,
+               crand: GlibcRand | None = None,
+               accept_ties: bool = True) -> RefineResult:
+    """One Prrn pass over a flat MSA (every sequence its own group)."""
+    n = msa.many
+    if n <= 2:
+        return RefineResult(msa, None, 0, 0)
+    if crand is None:
+        crand = GlibcRand(1)
+
+    # phyl_pwt: tree + weights from in-MSA divergences
+    d = msa_distance_matrix(msa.codes)
+    t = upgma(d, n)
+    pairwt, leaf_vol, vol, cur = calc_pair_weights(t, full=True)
+    msa = Msa(codes=msa.codes.copy(), molc=msa.molc, names=list(msa.names),
+              weight=leaf_vol, tgapf=msa.tgapf)
+
+    parts = _tree_partitions(t)
+    cycle = 2 * n - 3
+    p = 0
+    x = 1
+    while x < cycle:
+        p += 1
+        x <<= 1
+    mcr = McRand(p, randseed, crand)
+
+    joint = msa.codes.copy()
+    names = msa.names
+    dim = mtx.shape[0]
+
+    nrep = 0
+    improvements = 0
+    i = 0
+    maxi = maxitr * cycle
+    while i < maxi:
+        i += 1
+        while True:
+            rnbr = mcr.mcrand()
+            if rnbr < cycle:
+                break
+        members = parts[rnbr]
+        pwt, wfact = calcfact(t, vol, cur, rnbr)
+        lst1 = members                      # bit==1 side (under node)
+        lst0 = [k for k in range(n) if k not in set(members)]
+        # reference swaps so lst[0] is the larger side by member count
+        if len(lst0) < len(lst1):
+            lst0, lst1 = lst1, lst0
+
+        S0, keep0 = _side_msa(joint, lst0, wfact[lst0], names, msa.molc,
+                              msa.tgapf)
+        S1, keep1 = _side_msa(joint, lst1, wfact[lst1], names, msa.molc,
+                              msa.tgapf)
+        # skip if neither side had a common-gap column (divideseq)
+        if not ((~keep0).any() or (~keep1).any()):
+            nrep += 1
+            if nrep >= cycle:
+                break
+            continue
+
+        swapped = select_swap(S0, S1)
+        A, B = (S1, S0) if swapped else (S0, S1)
+        A.prepare(dim)
+        B.prepare(dim)
+        old_moves = _paths_from_masks(keep0, keep1)
+        if swapped:
+            old_moves = [(0 if m == 0 else 3 - m) for m in old_moves]
+        old_skl = moves_to_skl(old_moves)
+        sps_old = score_path(A, B, mtx, old_skl, u=u, v=v)
+
+        wdw = stripe(A.length, B.length, sh)
+        score_new, new_skl = group_align(A, B, mtx, u=u, v=v, wdw=wdw,
+                                         pads=(n, joint.shape[1] + 32))
+        changed = new_skl != old_skl
+        delta = pwt * (score_new - sps_old) if changed else 0.0
+        # the reference evaluates the old path and the realignment with
+        # two differently-ordered f32 summations, so equal-score
+        # alternative paths surface as tiny positive deltas it accepts
+        # (prrn5.cc:645); deterministically accept score-preserving path
+        # changes to explore the same tie-equivalent neighbourhood
+        accept = flt(0.0, delta) or (changed and accept_ties
+                                     and delta >= -FEPS * max(1.0, abs(sps_old)))
+        if accept:
+            # rebuild joint MSA along the new path, rows back in place
+            moves = skl_to_moves(new_skl)
+            L = len(moves)
+            new_joint = np.full((n, L), ab.GAP, np.int8)
+            rows_a = lst1 if swapped else lst0
+            rows_b = lst0 if swapped else lst1
+            ma = nb_ = 0
+            for c, mv in enumerate(moves):
+                if mv in (0, 1):
+                    new_joint[rows_a, c] = A.codes[:, ma]
+                    ma += 1
+                if mv in (0, 2):
+                    new_joint[rows_b, c] = B.codes[:, nb_]
+                    nb_ += 1
+            joint = new_joint
+            improvements += 1
+            nrep = 1
+        else:
+            nrep += 1
+        if nrep >= cycle:
+            break
+
+    # drop all-gap columns
+    keep = (joint > ab.GAP).any(axis=0)
+    joint = joint[:, keep]
+    out = Msa(codes=joint, molc=msa.molc, names=names, weight=leaf_vol,
+              tgapf=msa.tgapf)
+    return RefineResult(out, None, improvements, i)

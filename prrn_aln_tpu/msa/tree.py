@@ -179,10 +179,11 @@ def calc_seq_weights(tree: Tree) -> np.ndarray:
     return tree.ndesc[r] * cur[:n]
 
 
-def calc_pair_weights(tree: Tree) -> tuple[np.ndarray, np.ndarray]:
+def calc_pair_weights(tree: Tree, full: bool = False):
     """Three-point pair weights (Gotoh 1995; phyl.cc:703-786 pairwt with
     wfact=0/cfact semantics).  Returns (pairwt condensed, leaf weights =
-    vol per leaf)."""
+    vol per leaf); with ``full=True`` additionally the per-node (vol, cur)
+    arrays needed by the refinement partition weighting (calcfact)."""
     total = 2 * tree.n_leaves - 1
     n = tree.n_leaves
     cur = np.ones(total)
@@ -245,4 +246,6 @@ def calc_pair_weights(tree: Tree) -> tuple[np.ndarray, np.ndarray]:
         rec(root, np.inf)
     finally:
         sys.setrecursionlimit(rec_limit)
+    if full:
+        return pwt, vol[:n].copy(), vol, cur
     return pwt, vol[:n].copy()

@@ -1,0 +1,363 @@
+"""JAX anti-diagonal wavefront group-to-group DP.
+
+The TPU formulation of the banded group DP (see ops/group_np.py for the
+semantics oracle): one `lax.scan` over anti-diagonals; each step updates
+every band slot whose parity matches the diagonal with pure vector ops.
+Per-slot state carries the H/G/F lane values plus per-member gap-run
+lengths, so the exact pairwise gap-open accounting (crg22w) is evaluated
+as a broadcast compare (slots, an, bn) — MXU/VPU-friendly and identical
+to the row-scan arithmetic, including tie order.
+
+Boundary rows/columns (initB) are folded into the sweep as forced
+horizontal/vertical chains on the m'==0 / n'==0 cells.
+
+Direction bits are emitted per step for host-side traceback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..msa.msa import Msa
+from .window import Window, stripe
+from .group_np import _col_arrays, DIAG, VERT, HORI
+
+NEVSEL = -1.0e30
+
+# H dir codes (match group_np)
+D_DEAD, D_DIAG, D_VERT, D_HORI = 0, 1, 2, 3
+
+
+def _bucket(x: int, q: int = 64) -> int:
+    return ((x + q - 1) // q) * q
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nslot", "nsteps", "an", "bn", "la_max",
+                              "lb_max"))
+def _wavefront_group(
+    S,            # (la_max, lb_max) column score table
+    na_a, gda, pga,   # (la_max+1, an) column arrays of A (0 = boundary)
+    na_b, gdb, pgb,   # (lb_max+1, bn)
+    cfa, efa,     # (la_max+1,)
+    cfb, efb,     # (lb_max+1,)
+    wa, wb,       # (an,), (bn,)
+    la, lb,       # scalars (traced)
+    lw, up,       # band
+    u, gop_scale,         # gap extend; GOP = -scale*v
+    *, nslot, nsteps, an, bn, la_max, lb_max,
+):
+    r_all = lw - 1 + jnp.arange(nslot)
+    f32 = jnp.float32
+
+    Hval = jnp.full(nslot, NEVSEL, f32)
+    Hdir = jnp.zeros(nslot, jnp.int8)
+    Hgla = jnp.zeros((nslot, an), jnp.int32)
+    Hglb = jnp.zeros((nslot, bn), jnp.int32)
+    Gval = jnp.full(nslot, NEVSEL, f32)
+    Ggla = jnp.zeros((nslot, an), jnp.int32)
+    Gglb = jnp.zeros((nslot, bn), jnp.int32)
+    Fval = jnp.full(nslot, NEVSEL, f32)
+    Fgla = jnp.zeros((nslot, an), jnp.int32)
+    Fglb = jnp.zeros((nslot, bn), jnp.int32)
+
+    corner = r_all == 0
+    Hval = jnp.where(corner, 0.0, Hval)
+    Hdir = jnp.where(corner, D_DIAG, Hdir).astype(jnp.int8)
+
+    agap = na_a <= 0.0       # (la_max+1, an) gap mask per column
+    bgap = na_b <= 0.0
+
+    def crg(gla, glb, acol, bcol, d3, mc, nc):
+        """(slots,) weighted new-gap counts; acol/bcol are gathered
+        per-slot column indices (clipped)."""
+        ge = gla[:, :, None] >= glb[:, None, :]
+        if d3 == 0:
+            le = glb[:, None, :] >= gla[:, :, None]
+            t1 = ((wa[None, :] * na_a[mc])[:, :, None] * ge *
+                  (wb[None, :] * gdb[nc])[:, None, :]).sum((1, 2))
+            t2 = ((wa[None, :] * gda[mc])[:, :, None] * le *
+                  (wb[None, :] * na_b[nc])[:, None, :]).sum((1, 2))
+            return (t1 + t2) * gop_scale
+        if d3 > 0:
+            return ((wa[None, :] * na_a[mc])[:, :, None] * ge *
+                    (wb[None, :] * pgb[nc])[:, None, :]).sum((1, 2)) * gop_scale
+        le = glb[:, None, :] >= gla[:, :, None]
+        return ((wa[None, :] * pga[mc])[:, :, None] * le *
+                (wb[None, :] * na_b[nc])[:, None, :]).sum((1, 2)) * gop_scale
+
+    def shift_lo(x, fill):
+        return jnp.concatenate([jnp.full((1,) + x.shape[1:], fill, x.dtype),
+                                x[:-1]], axis=0)
+
+    def shift_hi(x, fill):
+        return jnp.concatenate([x[1:],
+                                jnp.full((1,) + x.shape[1:], fill, x.dtype)],
+                               axis=0)
+
+    def step(carry, d):
+        (Hval, Hdir, Hgla, Hglb, Gval, Ggla, Gglb,
+         Fval, Fgla, Fglb) = carry
+        m_vec = (d - r_all) >> 1          # m' of the cell (consumed cols)
+        n_vec = d - m_vec
+        parity = (d - r_all) % 2 == 0
+        valid = (parity & (m_vec >= 0) & (m_vec <= la)
+                 & (n_vec >= 0) & (n_vec <= lb)
+                 & (r_all >= lw) & (r_all <= up)
+                 & (d > 0))
+        mc = jnp.clip(m_vec, 0, la_max)    # column index (m' itself)
+        nc = jnp.clip(n_vec, 0, lb_max)
+        is_top = m_vec == 0                # forced horizontal chain
+        is_left = n_vec == 0               # forced vertical chain
+
+        # gathered per-slot column data
+        a_gap_col = agap[mc]               # (slots, an)
+        b_gap_col = bgap[nc]
+        s_cell = S[jnp.clip(m_vec - 1, 0, la_max - 1),
+                   jnp.clip(n_vec - 1, 0, lb_max - 1)]
+        pua = cfa[mc] * efb[nc] * (-u)
+        pub = cfb[nc] * efa[mc] * (-u)
+
+        # shifted previous-step states
+        Hval_lo, Hdir_lo = shift_lo(Hval, NEVSEL), shift_lo(Hdir, 0)
+        Hgla_lo, Hglb_lo = shift_lo(Hgla, 0), shift_lo(Hglb, 0)
+        Hval_hi, Hdir_hi = shift_hi(Hval, NEVSEL), shift_hi(Hdir, 0)
+        Hgla_hi, Hglb_hi = shift_hi(Hgla, 0), shift_hi(Hglb, 0)
+        Gval_hi = shift_hi(Gval, NEVSEL)
+        Ggla_hi, Gglb_hi = shift_hi(Ggla, 0), shift_hi(Gglb, 0)
+        Fval_lo = shift_lo(Fval, NEVSEL)
+        Fgla_lo, Fglb_lo = shift_lo(Fgla, 0), shift_lo(Fglb, 0)
+
+        # ---- diagonal candidate (pred: same slot, step d-2) ------------
+        gop_d = crg(Hgla, Hglb, None, None, 0, mc, nc)
+        d_val = Hval + s_cell + gop_d
+        d_gla = jnp.where(a_gap_col, Hgla + 1, 0)
+        d_glb = jnp.where(b_gap_col, Hglb + 1, 0)
+
+        # ---- vertical lane --------------------------------------------
+        gnp_v = crg(Ggla_hi, Gglb_hi, None, None, 1, mc, nc)
+        gop_v = crg(Hgla_hi, Hglb_hi, None, None, 1, mc, nc)
+        open_v = (Hdir_hi != D_VERT) & (Hval_hi + gop_v > Gval_hi + gnp_v)
+        gv = jnp.where(open_v, Hval_hi + gop_v, Gval_hi + gnp_v) + pua
+        g_gla = jnp.where(a_gap_col,
+                          jnp.where(open_v[:, None], Hgla_hi, Ggla_hi) + 1, 0)
+        g_glb = jnp.where(open_v[:, None], Hglb_hi, Gglb_hi) + 1
+        vert_ok = m_vec >= 2
+        gv = jnp.where(vert_ok, gv, NEVSEL)
+
+        # ---- horizontal lane ------------------------------------------
+        gnp_h = crg(Fgla_lo, Fglb_lo, None, None, -1, mc, nc)
+        gop_h = crg(Hgla_lo, Hglb_lo, None, None, -1, mc, nc)
+        open_h = (Hdir_lo != D_HORI) & (Hval_lo + gop_h > Fval_lo + gnp_h)
+        fv = jnp.where(open_h, Hval_lo + gop_h, Fval_lo + gnp_h) + pub
+        f_gla = jnp.where(open_h[:, None], Hgla_lo, Fgla_lo) + 1
+        f_glb = jnp.where(b_gap_col,
+                          jnp.where(open_h[:, None], Hglb_lo, Fglb_lo) + 1, 0)
+        hori_ok = n_vec >= 2
+        fv = jnp.where(hori_ok, fv, NEVSEL)
+
+        # ---- boundary chains ------------------------------------------
+        # top row (m'==0, n'>=1): H = H[r-1] + crg(d3=-1) + pub, dir HORI
+        top_val = Hval_lo + gop_h + pub
+        # left col (n'==0, m'>=1): H = H[r+1] + crg(d3=+1) + pua, dir VERT
+        left_val = Hval_hi + gop_v + pua
+
+        # ---- select ----------------------------------------------------
+        mx_is_f = fv >= gv
+        mx_val = jnp.maximum(gv, fv)
+        nondiag = mx_val > d_val
+        h_val = jnp.where(nondiag, mx_val, d_val)
+        h_dir = jnp.where(nondiag,
+                          jnp.where(mx_is_f, D_HORI, D_VERT),
+                          D_DIAG).astype(jnp.int8)
+        h_src = jnp.where(nondiag,
+                          jnp.where(mx_is_f, HORI, VERT),
+                          DIAG).astype(jnp.int8)
+        pick_f = nondiag & mx_is_f
+        pick_g = nondiag & ~mx_is_f
+        h_gla = jnp.where(pick_f[:, None], f_gla,
+                          jnp.where(pick_g[:, None], g_gla, d_gla))
+        h_glb = jnp.where(pick_f[:, None], f_glb,
+                          jnp.where(pick_g[:, None], g_glb, d_glb))
+
+        # overlay boundary chains
+        h_val = jnp.where(is_top, top_val, jnp.where(is_left, left_val,
+                                                     h_val))
+        h_dir = jnp.where(is_top, D_HORI,
+                          jnp.where(is_left, D_VERT, h_dir)).astype(jnp.int8)
+        h_src = jnp.where(is_top, HORI,
+                          jnp.where(is_left, VERT, h_src)).astype(jnp.int8)
+        top_gla, top_glb = Hgla_lo + 1, jnp.where(b_gap_col, Hglb_lo + 1, 0)
+        left_gla = jnp.where(a_gap_col, Hgla_hi + 1, 0)
+        left_glb = Hglb_hi + 1
+        h_gla = jnp.where(is_top[:, None], top_gla,
+                          jnp.where(is_left[:, None], left_gla, h_gla))
+        h_glb = jnp.where(is_top[:, None], top_glb,
+                          jnp.where(is_left[:, None], left_glb, h_glb))
+
+        # ---- masked writeback -----------------------------------------
+        vm = valid
+        Hval = jnp.where(vm, h_val, Hval)
+        Hdir = jnp.where(vm, h_dir, Hdir).astype(jnp.int8)
+        Hgla = jnp.where(vm[:, None], h_gla, Hgla)
+        Hglb = jnp.where(vm[:, None], h_glb, Hglb)
+        gval_n = jnp.where(vm & ~is_top & ~is_left, gv, NEVSEL)
+        Gval = jnp.where(vm, gval_n, Gval)
+        Ggla = jnp.where(vm[:, None], g_gla, Ggla)
+        Gglb = jnp.where(vm[:, None], g_glb, Gglb)
+        fval_n = jnp.where(vm & ~is_top & ~is_left, fv, NEVSEL)
+        Fval = jnp.where(vm, fval_n, Fval)
+        Fgla = jnp.where(vm[:, None], f_gla, Fgla)
+        Fglb = jnp.where(vm[:, None], f_glb, Fglb)
+
+        dirs = jnp.where(vm, h_src, -1).astype(jnp.int8)
+        opens = (jnp.where(vm & open_v, 1, 0)
+                 + jnp.where(vm & open_h, 2, 0)).astype(jnp.int8)
+        carry = (Hval, Hdir, Hgla, Hglb, Gval, Ggla, Gglb,
+                 Fval, Fgla, Fglb)
+        return carry, (dirs, opens)
+
+    carry = (Hval, Hdir, Hgla, Hglb, Gval, Ggla, Gglb, Fval, Fgla, Fglb)
+    carry, (dirs, opens) = jax.lax.scan(
+        step, carry, jnp.arange(nsteps, dtype=jnp.int32))
+    Hval = carry[0]
+    score = jnp.max(jnp.where(r_all == lb - la, Hval, NEVSEL))
+    return score, dirs, opens
+
+
+def group_align(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
+                wdw: Window | None = None, scale: float = 1.0,
+                pads: tuple[int, int] | None = None):
+    """Align two prepared groups with the JAX wavefront kernel.
+    Returns (score, skl).
+
+    ``pads`` = (member_pad, length_pad): pad member counts (with
+    zero-weight phantom members) and length buckets to fixed values so
+    repeated calls in a progressive/refinement session reuse one compiled
+    executable.
+    """
+    La, Lb = A.length, B.length
+    an, bn = A.many, B.many
+    if wdw is None:
+        wdw = stripe(La, Lb, -60)
+    lw, up = wdw.lw, wdw.up
+
+    if pads is not None:
+        an_pad, len_pad = pads
+        an_pad = max(an_pad, an, bn)
+        la_max = lb_max = _bucket(max(La, Lb, len_pad))
+        nslot = _bucket(up - lw + 3, 128)
+        nsteps = _bucket(La + Lb + 1, 256)
+    else:
+        an_pad = 0
+        la_max, lb_max = _bucket(La), _bucket(Lb)
+        nslot = _bucket(up - lw + 3)
+        nsteps = _bucket(La + Lb + 1)
+
+    S = np.zeros((la_max, lb_max), np.float32)
+    S[:La, :Lb] = np.einsum(
+        "mc,cd,nd->mn", A.freq.astype(np.float64), mtx.astype(np.float64),
+        B.freq.astype(np.float64)).astype(np.float32)
+
+    na_a, gda, pga = _col_arrays(A)
+    na_b, gdb, pgb = _col_arrays(B)
+
+    def padc(x, rows, cols):
+        """Pad columns (length) with zeros and members with zero-weight
+        phantom residues (na=1, gd=0, pg=1 -- all weighted by w=0)."""
+        out = np.zeros((rows, max(cols, x.shape[1])), np.float32)
+        out[:x.shape[0], :x.shape[1]] = x
+        return out
+
+    pa = max(an_pad, an)
+    pb = max(an_pad, bn)
+    na_a, gda, pga = (padc(x, la_max + 1, pa) for x in (na_a, gda, pga))
+    na_b, gdb, pgb = (padc(x, lb_max + 1, pb) for x in (na_b, gdb, pgb))
+    na_a[:, an:] = 1.0
+    pga[:, an:] = 1.0
+    na_b[:, bn:] = 1.0
+    pgb[:, bn:] = 1.0
+
+    def pad1(x, rows):
+        out = np.zeros(rows, np.float32)
+        out[:x.shape[0]] = x
+        return out
+
+    cfa = pad1(A.cfq[:La + 1], la_max + 1)
+    efa = pad1(A.efq[:La + 1], la_max + 1)
+    cfb = pad1(B.cfq[:Lb + 1], lb_max + 1)
+    efb = pad1(B.efq[:Lb + 1], lb_max + 1)
+    wa = np.zeros(pa, np.float32)
+    wa[:an] = (A.weight if A.weight is not None else np.ones(an))
+    wb = np.zeros(pb, np.float32)
+    wb[:bn] = (B.weight if B.weight is not None else np.ones(bn))
+
+    score, dirs, opens = _wavefront_group(
+        S, na_a, gda, pga, na_b, gdb, pgb, cfa, efa, cfb, efb, wa, wb,
+        np.int32(La), np.int32(Lb), np.int32(lw), np.int32(up),
+        np.float32(u), np.float32(-scale * v),
+        nslot=nslot, nsteps=nsteps, an=pa, bn=pb,
+        la_max=la_max, lb_max=lb_max)
+    skl = _traceback_wave(np.asarray(dirs), np.asarray(opens),
+                          La, Lb, lw)
+    return float(score), skl
+
+
+def _traceback_wave(dirs: np.ndarray, opens: np.ndarray, La: int, Lb: int,
+                    lw: int):
+    """Host traceback over the per-step direction records."""
+    moves = []
+    m, n = La, Lb
+    lane = "H"
+    off = -(lw - 1)
+
+    def rec(m, n):
+        d = m + n
+        slot = off + (n - m)
+        if 0 < d < dirs.shape[0]:
+            return dirs[d, slot], opens[d, slot]
+        return -1, 0
+
+    while m > 0 or n > 0:
+        src, op = rec(m, n)
+        if lane == "H":
+            if src == DIAG:
+                moves.append(DIAG)
+                m, n = m - 1, n - 1
+            elif src == VERT:
+                lane = "G"
+            else:
+                lane = "F"
+        elif lane == "G":
+            opened = bool(op & 1)
+            moves.append(VERT)
+            m -= 1
+            if opened or n == 0:
+                lane = "H"
+        else:
+            opened = bool(op & 2)
+            moves.append(HORI)
+            n -= 1
+            if opened or m == 0:
+                lane = "H"
+    moves.reverse()
+    skl = [(0, 0)]
+    mm = nn = 0
+    prev = None
+    for mv in moves:
+        if prev is not None and mv != prev:
+            skl.append((mm, nn))
+        if mv == DIAG:
+            mm += 1
+            nn += 1
+        elif mv == VERT:
+            mm += 1
+        else:
+            nn += 1
+        prev = mv
+    skl.append((La, Lb))
+    return skl
