@@ -1,0 +1,223 @@
+"""Pallas TPU kernel: batched pairwise wavefront DP (score only).
+
+Gather-free layout:
+
+1. XLA builds the substitution image S[m, n] = mtx[a[m], b[n]] with a
+   one-hot einsum on the MXU, then "skews" it with a barrel rotator
+   (log2(rows) masked rolls): row c of the skewed block holds the
+   anti-diagonal m + n == c (mod rows).
+2. Pairs are packed 8 to a group along the sublane axis: the kernel's
+   state is (8, Lb) — one full f32 vreg row per op — and every step is
+   pure VPU work: lane shifts, maxima, adds.  The per-step diagonal row
+   for all 8 pairs is one contiguous (8, Lb) VMEM read.
+
+Boundary conditions and terminal-gap discounting reproduce the banded
+wavefront scorer exactly for a band covering the full rectangle
+(ops/pairwise.py with lw=-la, up=+lb); validated against it in tests.
+
+Perf notes (v5e): ~15 VPU ops per 2 slot-lanes (50% anti-diagonal
+utilization on square problems) bounds this formulation near ~30 GCUPS
+f32 per core.  Roadmap to the TCUPS regime: int16/int8 state (2-4x
+lanes), banded tiling to cut the sweep waste, and two-pair wavefront
+packing.  See PERF.md.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEVSEL = -1.0e30
+GROUP = 8
+
+
+def _pow2(x: int) -> int:
+    p = 8
+    while p < x:
+        p <<= 1
+    return p
+
+
+def _kernel(prm_ref, srot_ref, out_ref):
+    """One 8-pair group.  srot_ref block: (1, La_p, 8, Lb_p) skewed
+    scores; prm_ref block: (1, 8, 8, 128) parameter planes [la, lb, u, v,
+    fa_l, fb_l, fa_r, fb_r] broadcast over lanes; out_ref: (1, 8, 128)."""
+    _, La_p, G, Lb_p = srot_ref.shape
+
+    def plane(k):
+        return prm_ref[0, k, :, 0:1]       # (8, 1), broadcasts over lanes
+
+    la = plane(0)
+    lb = plane(1)
+    u = plane(2)
+    v = plane(3)
+    fa_l = plane(4)
+    fb_l = plane(5)
+    fa_r = plane(6)
+    fb_r = plane(7)
+
+    n_idx = jax.lax.broadcasted_iota(jnp.int32, (G, Lb_p), 1).astype(jnp.float32)
+    anchor = srot_ref[0, 0] * 0.0          # (8, Lb_p) concrete layout
+    neg = anchor + NEVSEL
+
+    # boundary top-row values Ta(n) (0 at n==0) and Ta(n+1)
+    Ta = jnp.where(n_idx == 0, 0.0, -(v + n_idx * u) * fa_l)
+    Tav = -(v + (n_idx + 1.0) * u) * fa_l
+
+    def shift1(x, fill):
+        r = pltpu.roll(x, 1, axis=1)
+        return jnp.where(n_idx == 0, fill, r)
+
+    T = La_p + Lb_p - 1
+
+    def step(d, carry):
+        H2, H1, F1, G1, lastrow, best_col = carry
+        df = jnp.float32(d)
+        m_vec = df - n_idx
+        valid = (n_idx <= df) & (m_vec < la) & (n_idx < lb)
+        s_row = srot_ref[0, d & (La_p - 1)]
+
+        H1s = shift1(H1, NEVSEL)
+        F1s = shift1(F1, NEVSEL)
+        H2s = shift1(H2, NEVSEL)
+
+        tb_d = -(v + df * u) * fb_l        # left-column boundary, d > 0
+        diag_pred = jnp.where(m_vec == 0, Ta,
+                              jnp.where(n_idx == 0,
+                                        jnp.where(df == 0.0, 0.0, tb_d),
+                                        H2s))
+
+        F0 = jnp.maximum(H1s - v, F1s) - u
+        F0 = jnp.where(n_idx == 0, NEVSEL, F0)
+
+        vpH = jnp.where(m_vec == 0, Tav, H1)
+        vpG = jnp.where(m_vec == 0, neg, G1)
+        G0 = jnp.maximum(vpH - v, vpG) - u
+
+        H0 = jnp.maximum(jnp.maximum(diag_pred + s_row, F0), G0)
+        H0 = jnp.where(valid, H0, neg)
+
+        # last row H(la-1, n) lands at lane n when m == la-1
+        lastrow = jnp.where(m_vec == la - 1.0, H0, lastrow)
+        # last-column terminal candidates (trailing gap in b):
+        #   H(m, lb-1) - (v + (la-1-m) u) * fb_r
+        kf = la - 1.0 - m_vec
+        cand = jnp.where((n_idx == lb - 1.0) & valid & (kf > 0),
+                         H0 - (v + kf * u) * fb_r, neg)
+        best_col = jnp.maximum(best_col, jnp.max(cand, axis=1,
+                                                 keepdims=True))
+        return (H1, H0, F0, G0, lastrow, best_col)
+
+    init = (neg, neg, neg, neg, neg, neg[:, 0:1])
+    H2, H1, F1, G1, lastrow, best_col = jax.lax.fori_loop(
+        0, T, step, init)
+
+    corner = jnp.max(jnp.where(n_idx == lb - 1.0, lastrow, neg),
+                     axis=1, keepdims=True)
+    kfb = lb - 1.0 - n_idx
+    cand_row = jnp.where(kfb > 0, lastrow - (v + kfb * u) * fa_r, neg)
+    best_row = jnp.max(cand_row, axis=1, keepdims=True)
+    score = corner
+    score = jnp.where(fa_r < 1.0, jnp.maximum(score, best_row), score)
+    score = jnp.where(fb_r < 1.0, jnp.maximum(score, best_col), score)
+    out_ref[0, :, :] = jnp.broadcast_to(score, (G, 128))
+
+
+@functools.partial(jax.jit, static_argnames=("la_pad", "lb_pad"))
+def _launch(S, prm, *, la_pad, lb_pad):
+    """S: (BG, la_pad, 8, lb_pad) pre-skewed; prm: (BG, 8, 8, 128)."""
+    BG = S.shape[0]
+    grid_spec = pl.GridSpec(
+        grid=(BG,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 8, 128), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, la_pad, GROUP, lb_pad),
+                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, GROUP, 128), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def kern(prm_ref, s_ref, out_ref):
+        _kernel(prm_ref, s_ref, out_ref)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((BG, GROUP, 128), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(prm, S)
+
+
+@functools.partial(jax.jit, static_argnames=("la_pad",))
+def _skew(S, *, la_pad):
+    """Roll column n of each (la_pad, lb_pad) image down by n (mod)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, S.shape, 2)
+    out = S
+    k = 1
+    while k < la_pad:
+        rolled = jnp.roll(out, k, axis=1)
+        out = jnp.where((lane & k) != 0, rolled, out)
+        k <<= 1
+    return out
+
+
+def pallas_pairwise_scores(a_batch, b_batch, la, lb, mtx,
+                           u: float, v: float, tgapf: float = 1.0,
+                           exg=None):
+    """Batched full-rectangle wavefront scores via the Pallas kernel.
+
+    a_batch (B, Ma) / b_batch (B, Mb) int32 codes (0-padded), la/lb (B,)
+    actual lengths.  Returns (B,) f32 scores.
+    """
+    B, Ma = a_batch.shape
+    Mb = b_batch.shape[1]
+    la_pad = _pow2(Ma)
+    lb_pad = max(128, _pow2(Mb))
+    dim = mtx.shape[0]
+    la = np.asarray(la)
+    lb = np.asarray(lb)
+    pad_b = (-B) % GROUP
+    if pad_b:
+        a_batch = np.pad(a_batch, ((0, pad_b), (0, 0)))
+        b_batch = np.pad(b_batch, ((0, pad_b), (0, 0)))
+        la = np.pad(la, (0, pad_b), constant_values=1)
+        lb = np.pad(lb, (0, pad_b), constant_values=1)
+        if exg is not None:
+            exg = np.pad(exg, ((0, pad_b), (0, 0)))
+    Bp = B + pad_b
+
+    onehot_a = jax.nn.one_hot(a_batch, dim, dtype=jnp.float32)
+    onehot_b = jax.nn.one_hot(b_batch, dim, dtype=jnp.float32)
+    P = jnp.einsum("bmc,cd->bmd", onehot_a, mtx.astype(jnp.float32))
+    S = jnp.einsum("bmd,bnd->bmn", P, onehot_b)
+    S = jnp.pad(S, ((0, 0), (0, la_pad - Ma), (0, lb_pad - Mb)))
+    S = _skew(S, la_pad=la_pad)
+    # group pairs along sublanes: (BG, la_pad, 8, lb_pad)
+    S = S.reshape(Bp // GROUP, GROUP, la_pad, lb_pad).transpose(0, 2, 1, 3)
+
+    if exg is None:
+        exg = np.zeros((Bp, 4), bool)
+    planes = np.zeros((Bp, 8), np.float32)
+    planes[:, 0] = la
+    planes[:, 1] = lb
+    planes[:, 2] = u
+    planes[:, 3] = v
+    planes[:, 4] = np.where(exg[:, 0], 0.0, tgapf)   # fa_l
+    planes[:, 5] = np.where(exg[:, 2], 0.0, tgapf)   # fb_l
+    planes[:, 6] = np.where(exg[:, 1], 0.0, tgapf)   # fa_r
+    planes[:, 7] = np.where(exg[:, 3], 0.0, tgapf)   # fb_r
+    # (BG, 8 params, 8 pairs, 128 lanes)
+    prm = np.broadcast_to(
+        planes.reshape(Bp // GROUP, GROUP, 8, 1).transpose(0, 2, 1, 3),
+        (Bp // GROUP, 8, GROUP, 128)).copy()
+
+    out = _launch(S, prm, la_pad=la_pad, lb_pad=lb_pad)
+    return out.reshape(Bp, 128)[:B, 0]
