@@ -124,5 +124,38 @@ def aln_main(argv=None) -> int:
     return 0
 
 
+def phyln_main(argv=None) -> int:
+    """Guide-tree utility: the reference's phyln/upg/nj family."""
+    p = argparse.ArgumentParser(
+        prog="phyln", description="print a UPGMA or NJ tree (Newick)")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("-m", choices=["upgma", "nj"], default="upgma")
+    p.add_argument("-k", action="store_true",
+                   help="use in-MSA divergence (input is an alignment)")
+    args = p.parse_args(argv)
+
+    from .msa import distance as dmod, tree as tmod
+
+    records = []
+    for f in args.inputs:
+        records += io.sniff_and_read(f)
+    molc = ab.infer_molc(records[0].seq)
+    names = [r.name for r in records]
+    if args.k:
+        m = io.records_to_msa(records, molc)
+        d = dmod.msa_distance_matrix(m.codes)
+    else:
+        params = default_params(molc, "prrn")
+        mtx, _ = scoring.build_matrix(molc, params)
+        seqs = [ab.encode(r.seq.replace("-", ""), molc) for r in records]
+        d = dmod.distance_matrix(seqs, mtx, u=params.u, v=params.v,
+                                 sh=params.sh)
+    n = len(records)
+    t = (tmod.neighbor_joining(d, n) if args.m == "nj"
+         else tmod.upgma(d, n))
+    print(tmod.to_newick(t, names))
+    return 0
+
+
 if __name__ == "__main__":
     sys.exit(prrn_main())

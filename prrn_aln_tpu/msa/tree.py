@@ -155,7 +155,9 @@ def upgma(dist: np.ndarray, n: int,
                 nnbr[kk] = bj
         m_new += 1
 
-    return Tree(n, left, right, parent, height, length, res, ndesc)
+    t = Tree(n, left, right, parent, height, length, res, ndesc)
+    _teachparent(t)
+    return t
 
 
 def calc_seq_weights(tree: Tree) -> np.ndarray:
@@ -249,3 +251,191 @@ def calc_pair_weights(tree: Tree, full: bool = False):
     if full:
         return pwt, vol[:n].copy(), vol, cur
     return pwt, vol[:n].copy()
+
+
+def neighbor_joining(dist: np.ndarray, n: int) -> Tree:
+    """Neighbor-joining tree (Saitou-Nei / Studier-Keppler) with the
+    reference's re-rooting and height normalization
+    (phyl.cc:1112-1176 nj_method, :585-619 findroot, :1030-1060 recalhi,
+    :570-577 calres)."""
+    total = 2 * n - 1
+    left = np.full(total, -1, np.int64)
+    right = np.full(total, -1, np.int64)
+    parent = np.full(total, -1, np.int64)
+    height = np.zeros(total)
+    length = np.zeros(total)
+    res = np.zeros(total)
+    ndesc = np.ones(total, np.int64)
+
+    D = np.zeros((n, n))
+    for j in range(1, n):
+        for i in range(j):
+            D[i, j] = D[j, i] = dist[condensed_index(i, j)]
+    D = D.copy()
+    ssum = D.sum(axis=1)
+    nodes = list(range(n))
+    m_new = n
+    nn = n
+    while nn >= 3:
+        if nn > 3:
+            # mins: minimize D[i,j]*(nn-2) - sum[i] - sum[j], i < j scan order
+            best = None
+            bi = bj = 0
+            for j in range(1, nn):
+                for i in range(j):
+                    t = D[i, j] * (nn - 2) - ssum[i] - ssum[j]
+                    if best is None or t < best:
+                        best, bi, bj = t, i, j
+            i, j = bi, bj
+        else:
+            # minh: maximize 2*height + sum - dist (phyl.cc:1095-1110)
+            hmax = 2 * height[nodes[2]] + ssum[2] - D[0, 1]
+            i, j = 0, 1
+            cand = [(2 * height[nodes[1]] + ssum[1] - D[0, 2], 0, 2),
+                    (2 * height[nodes[0]] + ssum[0] - D[1, 2], 1, 2)]
+            for t, ci, cj in cand:
+                if t > hmax:
+                    hmax, i, j = t, ci, cj
+        dd = (ssum[i] - ssum[j]) / (nn - 2)
+        dij = D[i, j]
+        hl = (dij + dd) / 2.0
+        hr = (dij - dd) / 2.0
+        ssum[i] = (ssum[i] + ssum[j] - nn * dij) / 2.0
+        rt = m_new
+        m_new += 1
+        left[rt], right[rt] = nodes[i], nodes[j]
+        length[nodes[i]] = hl
+        length[nodes[j]] = hr
+        ndesc[rt] = ndesc[nodes[i]] + ndesc[nodes[j]]
+        height[rt] = max(hl + height[nodes[i]], hr + height[nodes[j]])
+        parent[nodes[i]] = parent[nodes[j]] = rt
+        nodes[i] = rt
+        for k in range(nn):
+            if k in (i, j):
+                continue
+            dd2 = D[k, i] + D[k, j]
+            D[k, i] = D[i, k] = (dd2 - dij) / 2.0
+            ssum[k] -= (dd2 + dij) / 2.0
+        nn -= 1
+        if j != nn:
+            ssum[j] = ssum[nn]
+            nodes[j] = nodes[nn]
+            for k in range(nn):
+                if k != j:
+                    D[k, j] = D[j, k] = D[k, nn]
+
+    rt = m_new
+    left[rt], right[rt] = nodes[0], nodes[1]
+    length[rt] = 0.0
+    ndesc[rt] = n
+    parent[nodes[0]] = parent[nodes[1]] = rt
+    t = Tree(n, left, right, parent, height, length, res, ndesc)
+
+    # reference passes the *updated* working distance between the two
+    # remaining nodes (nj destroys dist in place; phyl.cc:1167)
+    _findroot(t, rt, D[0, 1])
+    t.parent[:] = -1
+    for i in range(total):
+        if t.left[i] >= 0:
+            t.parent[t.left[i]] = i
+            t.parent[t.right[i]] = i
+    _teachparent(t)
+    lw = _recalhi(t, t.root, t.height[t.root])
+    if lw < 0.0:
+        _recalhi(t, t.root, t.height[t.root] - lw)
+    _calres(t, t.root)
+    return t
+
+
+def _findroot(t: Tree, node: int, brl: float) -> None:
+    """Re-root at the balance point (phyl.cc:585-619 findroot)."""
+    while True:
+        lc, rc = t.left[node], t.right[node]
+        t.height[node] = (t.height[lc] + t.height[rc] + brl) / 2.0
+        t.length[lc] = t.height[node] - t.height[lc]
+        t.length[rc] = t.height[node] - t.height[rc]
+        if t.length[lc] < 0.0:
+            chng, keep = lc, rc
+        elif t.length[rc] < 0.0:
+            chng, keep = rc, lc
+        else:
+            return
+        t.length[keep] = brl
+        cl, cr = t.left[chng], t.right[chng]
+        if t.height[cl] + t.length[cl] > t.height[cr] + t.length[cr]:
+            t.left[node] = cl
+            t.left[chng] = cr
+        else:
+            t.left[node] = cr
+        brl = t.length[t.left[node]]
+        t.right[chng] = keep
+        t.right[node] = chng
+        cl, cr = t.left[chng], t.right[chng]
+        t.height[chng] = max(t.height[cl] + t.length[cl],
+                             t.height[cr] + t.length[cr])
+
+
+def _recalhi(t: Tree, node: int, hi: float) -> float:
+    """Top-down height assignment (phyl.cc:1030-1056 lowesthi/recalhi)."""
+    lwhi = [0.0]
+    first = [True]
+
+    def walk(i, h):
+        h = h - t.length[i]
+        t.height[i] = h
+        if first[0] or h < lwhi[0]:
+            lwhi[0] = min(lwhi[0], h)
+        first[0] = False
+        if t.left[i] >= 0:
+            walk(t.left[i], h)
+            walk(t.right[i], h)
+
+    lwhi[0] = float("inf")
+    walk(node, hi)
+    return lwhi[0]
+
+
+def _calres(t: Tree, node: int) -> float:
+    if t.left[node] < 0:
+        t.res[node] = 0.0
+        return 0.0
+    rr = _calres(t, t.left[node]) + t.length[t.left[node]]
+    rl = _calres(t, t.right[node]) + t.length[t.right[node]]
+    t.res[node] = rr * rl / (rr + rl) if (rr > 0.0 and rl > 0.0) else 0.0
+    return t.res[node]
+
+
+def _teachparent(t: Tree) -> None:
+    """Canonicalize child order: subtree holding the smaller minimum leaf
+    tid becomes the left child (phyl.cc Knode::teachparent), and refresh
+    parent links / descendant counts."""
+    def rec(i: int) -> int:
+        if t.is_leaf(i):
+            return i
+        t.parent[t.left[i]] = i
+        t.parent[t.right[i]] = i
+        l = rec(t.left[i])
+        r = rec(t.right[i])
+        t.ndesc[i] = t.ndesc[t.left[i]] + t.ndesc[t.right[i]]
+        if l > r:
+            t.left[i], t.right[i] = t.right[i], t.left[i]
+            return r
+        return l
+    import sys
+    lim = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(lim, 10 * t.n_leaves + 100))
+    try:
+        rec(t.root)
+    finally:
+        sys.setrecursionlimit(lim)
+    t.parent[t.root] = -1
+
+
+def to_newick(t: Tree, names: list[str]) -> str:
+    """Newick serialization with branch lengths."""
+    def rec(i: int) -> str:
+        if t.is_leaf(i):
+            return f"{names[i]}:{t.length[i]:.5f}"
+        return (f"({rec(t.left[i])},{rec(t.right[i])})"
+                + (f":{t.length[i]:.5f}" if i != t.root else ""))
+    return rec(t.root) + ";"

@@ -60,3 +60,16 @@ def test_upgma_and_weights(fixture, names):
     np.testing.assert_allclose(leaf_vol, golden["calcpw_wt"], rtol=1e-5,
                                atol=1e-6)
     np.testing.assert_allclose(pwt, golden["pairwt"], rtol=1e-5, atol=1e-6)
+
+
+def test_neighbor_joining():
+    golden = json.loads((FIX / "tree_nj7.json").read_text())
+    t = tree.neighbor_joining(np.array(golden["dist"]), golden["n"])
+    for i, nd in enumerate(golden["nodes"]):
+        assert (t.left[i] if t.left[i] >= 0 else -1) == nd["left"]
+        assert (t.right[i] if t.right[i] >= 0 else -1) == nd["right"]
+        np.testing.assert_allclose(t.height[i], nd["height"], rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(t.length[i], nd["length"], rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(t.res[i], nd["res"], rtol=1e-4, atol=1e-5)
