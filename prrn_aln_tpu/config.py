@@ -53,17 +53,17 @@ class AlnParams:
         return self.v * self.scale
 
 
-# program defaults mirroring reference setdefparam:
-#   aln:   pam250 u=2 v=9, sh=-50  (aln.cc:570-583)
-#   prrn5: pam250 u=2 v=9, sh=-60, thr=70 (prrn5.cc:1262-1278)
-ALN_DEFAULTS = AlnParams(sh=-50)
-PRRN_DEFAULTS = AlnParams(sh=-60, thr=70.0)
-
-# DNA defaults: setdefNprm(-2, 2, 4) in prrn5.cc:1269 => n=-2? reference
-# argument order is (n, u, v): mismatch -2, u=2, v=4
-PRRN_DNA_DEFAULTS = AlnParams(u=2.0, v=4.0, n_match=2.0, n_mismatch=-2.0,
+# Program defaults. The reference's nominal defaults (setdefPprm(250,2,9),
+# setdefNprm(-2,2,4)) land in matrix slot 0, but algmode.crs is truthy by
+# default so setSimmtxes swaps slots 0/1 (simmtx.cc:705-711): the PRIMARY
+# matrix actually used is slot 1 — protein PAM 150 (u=2, v=9), DNA
+# match=2/mismatch=-4 (u=2, v=6).  Confirmed by the reference's own output
+# header ("PAM = 150") and matched golden scores.
+ALN_DEFAULTS = AlnParams(pam=150, sh=-50)
+PRRN_DEFAULTS = AlnParams(pam=150, sh=-60, thr=70.0)
+PRRN_DNA_DEFAULTS = AlnParams(u=2.0, v=6.0, n_match=2.0, n_mismatch=-4.0,
                               sh=-60, thr=70.0)
-ALN_DNA_DEFAULTS = AlnParams(u=3.0, v=8.0, n_match=2.0, n_mismatch=-6.0,
+ALN_DNA_DEFAULTS = AlnParams(u=2.0, v=6.0, n_match=2.0, n_mismatch=-4.0,
                              sh=-50)
 
 

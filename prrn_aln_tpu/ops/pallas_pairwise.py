@@ -128,6 +128,23 @@ def _kernel(prm_ref, srot_ref, out_ref):
     out_ref[0, :, :] = jnp.broadcast_to(score, (G, 128))
 
 
+@functools.partial(jax.jit, static_argnames=("la_pad", "lb_pad", "dim"))
+def _prepare_and_launch(a_batch, b_batch, prm, mtx, *, la_pad, lb_pad, dim):
+    """Fused S-image build + skew + kernel launch (single XLA program)."""
+    Bp, Ma = a_batch.shape
+    Mb = b_batch.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+    onehot_a = jax.nn.one_hot(a_batch, dim, dtype=jnp.float32)
+    onehot_b = jax.nn.one_hot(b_batch, dim, dtype=jnp.float32)
+    P = jnp.einsum("bmc,cd->bmd", onehot_a, mtx.astype(jnp.float32),
+                   precision=hi)
+    S = jnp.einsum("bmd,bnd->bmn", P, onehot_b, precision=hi)
+    S = jnp.pad(S, ((0, 0), (0, la_pad - Ma), (0, lb_pad - Mb)))
+    S = _skew(S, la_pad=la_pad)
+    S = S.reshape(Bp // GROUP, GROUP, la_pad, lb_pad).transpose(0, 2, 1, 3)
+    return _launch(S, prm, la_pad=la_pad, lb_pad=lb_pad)
+
+
 @functools.partial(jax.jit, static_argnames=("la_pad", "lb_pad"))
 def _launch(S, prm, *, la_pad, lb_pad):
     """S: (BG, la_pad, 8, lb_pad) pre-skewed; prm: (BG, 8, 8, 128)."""
@@ -194,15 +211,6 @@ def pallas_pairwise_scores(a_batch, b_batch, la, lb, mtx,
             exg = np.pad(exg, ((0, pad_b), (0, 0)))
     Bp = B + pad_b
 
-    onehot_a = jax.nn.one_hot(a_batch, dim, dtype=jnp.float32)
-    onehot_b = jax.nn.one_hot(b_batch, dim, dtype=jnp.float32)
-    P = jnp.einsum("bmc,cd->bmd", onehot_a, mtx.astype(jnp.float32))
-    S = jnp.einsum("bmd,bnd->bmn", P, onehot_b)
-    S = jnp.pad(S, ((0, 0), (0, la_pad - Ma), (0, lb_pad - Mb)))
-    S = _skew(S, la_pad=la_pad)
-    # group pairs along sublanes: (BG, la_pad, 8, lb_pad)
-    S = S.reshape(Bp // GROUP, GROUP, la_pad, lb_pad).transpose(0, 2, 1, 3)
-
     if exg is None:
         exg = np.zeros((Bp, 4), bool)
     planes = np.zeros((Bp, 8), np.float32)
@@ -219,5 +227,6 @@ def pallas_pairwise_scores(a_batch, b_batch, la, lb, mtx,
         planes.reshape(Bp // GROUP, GROUP, 8, 1).transpose(0, 2, 1, 3),
         (Bp // GROUP, 8, GROUP, 128)).copy()
 
-    out = _launch(S, prm, la_pad=la_pad, lb_pad=lb_pad)
+    out = _prepare_and_launch(a_batch, b_batch, prm, mtx,
+                              la_pad=la_pad, lb_pad=lb_pad, dim=dim)
     return out.reshape(Bp, 128)[:B, 0]
