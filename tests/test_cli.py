@@ -1,0 +1,64 @@
+"""CLI smoke + golden-body tests."""
+
+import re
+from pathlib import Path
+
+import pytest
+
+from prrn_aln_tpu import io
+from prrn_aln_tpu.cli import aln_main, prrn_main, phyln_main
+
+FIX = Path(__file__).parent / "fixtures"
+
+
+def _golden_rows(fname):
+    path = Path(fname)
+    if not path.is_absolute():
+        path = FIX / fname
+    rows = {}
+    for line in path.read_text().splitlines():
+        mt = re.match(r"\s*\d+ (.{1,61})\| (\S+)", line)
+        if mt:
+            rows.setdefault(mt.group(2), []).append(mt.group(1).rstrip())
+    return {k: "".join(v) for k, v in rows.items()}
+
+
+def test_aln_group_merge_matches_reference(tmp_path, capsys):
+    # reconstruct Multi_A / Multi_B from the galign fixture
+    import json
+    gfix = json.loads((FIX / "galign_fixtures.json").read_text())
+    paths = []
+    for key in ("pas/Multi_A", "pas/Multi_B"):
+        info = gfix["files"][key]
+        p = tmp_path / key.split("/")[-1]
+        with open(p, "w") as f:
+            f.write(f"{len(info['rows']):5d}{len(info['rows'][0]):6d}\tx\n")
+            for n, r in zip(info["names"], info["rows"]):
+                f.write(f">{n}\n{r}\n/\n")
+        paths.append(str(p))
+    out = tmp_path / "out.txt"
+    assert aln_main([*paths, "-o", str(out)]) == 0
+    golden = _golden_rows("golden_aln_multiAB.txt")
+    mine = _golden_rows(str(out))
+    assert mine == golden
+
+
+def test_prrn_cli_runs(tmp_path):
+    out = tmp_path / "msa.fasta"
+    rc = prrn_main([str(FIX / "dnafam.fa"), "-F", "fasta", "-R", "0",
+                    "-o", str(out)])
+    assert rc == 0
+    recs = io.read_fasta(out)
+    assert len(recs) == 6
+
+
+def test_phyln_cli(capsys):
+    rc = phyln_main([str(FIX / "dnafam.fa")])
+    assert rc == 0
+    newick = capsys.readouterr().out
+    assert newick.count("(") == 5 and newick.endswith(";\n")
+
+    rc = phyln_main(["-m", "nj", str(FIX / "dnafam.fa")])
+    assert rc == 0
+    newick = capsys.readouterr().out
+    assert newick.count("(") == 5
