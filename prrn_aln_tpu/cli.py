@@ -51,11 +51,12 @@ def prrn_main(argv=None) -> int:
                    default="native", help="output format")
     p.add_argument("-o", default=None, help="output file")
     p.add_argument("-yp", type=int, default=None, help="PAM level")
+    p.add_argument("-U", action="store_true",
+                   help="update mode: refine combined pre-aligned inputs")
     args = p.parse_args(argv)
 
-    records = []
-    for f in args.inputs:
-        records += io.sniff_and_read(f)
+    per_file = [io.sniff_and_read(f) for f in args.inputs]
+    records = [r for recs in per_file for r in recs]
     if not records:
         print("no sequences read", file=sys.stderr)
         return 1
@@ -74,8 +75,20 @@ def prrn_main(argv=None) -> int:
         import dataclasses
         params = dataclasses.replace(params, **over)
 
-    msa = build_msa(records, params=params, molc=molc, maxitr=args.S,
-                    randseed=args.R, refine=args.I > 0)
+    # pre-aligned multi-member files become host groups (update flow)
+    def is_aligned(recs):
+        return (len(recs) > 1 and len({len(r.seq) for r in recs}) == 1
+                and any("-" in r.seq for r in recs))
+
+    hosts_present = any(is_aligned(recs) for recs in per_file)
+    if hosts_present:
+        from .pipeline import update_msa
+        groups = [io.records_to_msa(recs, molc) for recs in per_file]
+        msa = update_msa(groups, params=params, molc=molc, maxitr=args.S,
+                         randseed=args.R, refine=args.U)
+    else:
+        msa = build_msa(records, params=params, molc=molc, maxitr=args.S,
+                        randseed=args.R, refine=args.I > 0)
     _out(msa, args.F, args.o)
     return 0
 

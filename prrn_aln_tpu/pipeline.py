@@ -49,3 +49,84 @@ def build_msa(records: list[SeqRecord], params: AlnParams | None = None,
                          maxitr=maxitr, randseed=randseed, crand=crand)
         msa = res.msa
     return msa
+
+
+def _ensure_weights(m: Msa) -> Msa:
+    """calcweight: tree-derived sequence weights (phyl.cc:835-846)."""
+    if m.weight is not None:
+        return m
+    if m.many == 1:
+        m.weight = np.ones(1)
+    elif m.many == 2:
+        m.weight = np.array([0.5, 0.5])
+    else:
+        d = distance.msa_distance_matrix(m.codes)
+        t = tree.upgma(d, m.many)
+        m.weight = tree.calc_seq_weights(t)
+    return m
+
+
+def cut_in(mom: Msa, dau: Msa, mtx, params: AlnParams) -> Msa:
+    """Insert a single sequence (or small group) into an MSA
+    (prrn5.cc cut_in): weighted host vs unit-weight guest."""
+    from .msa.progressive import align_pair
+    from .msa.merge import merge_msas
+
+    _ensure_weights(mom)
+    dau = Msa(codes=dau.codes, molc=dau.molc, names=list(dau.names),
+              weight=np.ones(dau.many))
+    mom.prepare(mtx.shape[0])
+    dau.prepare(mtx.shape[0])
+    _, skl, swapped = align_pair(mom, dau, mtx, u=params.u, v=params.v,
+                                 sh=params.sh)
+    A, B = (dau, mom) if swapped else (mom, dau)
+    merged = merge_msas(A, B, skl)
+    if swapped:
+        # restore host-first row order
+        order = list(range(dau.many, dau.many + mom.many)) + \
+            list(range(dau.many))
+        merged = Msa(codes=merged.codes[order], molc=merged.molc,
+                     names=[merged.names[i] for i in order],
+                     weight=np.concatenate([mom.weight, dau.weight]))
+    return merged
+
+
+def update_msa(groups: list[Msa], params: AlnParams | None = None,
+               molc: int | None = None, maxitr: int = 10, randseed: int = 1,
+               refine: bool = False) -> Msa:
+    """Combine pre-aligned host MSAs and single-sequence guests
+    (prrn5.cc:1529-1605 update_prrn): hosts merged by group alignment,
+    guests cut in one by one, optional flat refinement."""
+    from .msa.progressive import align_pair
+    from .msa.merge import merge_msas
+
+    if molc is None:
+        molc = groups[0].molc
+    if params is None:
+        params = default_params(molc, "prrn")
+    mtx, _ = scoring.build_matrix(molc, params)
+
+    hosts = [g for g in groups if g.many >= 2]
+    guests = [g for g in groups if g.many < 2]
+    if not hosts:
+        raise ValueError("update_msa requires at least one aligned host")
+
+    msd = hosts[0]
+    for other in hosts[1:]:
+        msd.prepare(mtx.shape[0])
+        other.prepare(mtx.shape[0])
+        _, skl, swapped = align_pair(msd, other, mtx, u=params.u,
+                                     v=params.v, sh=params.sh)
+        A, B = (other, msd) if swapped else (msd, other)
+        msd = merge_msas(A, B, skl)
+    for g in guests:
+        msd = cut_in(msd, g, mtx, params)
+
+    if refine and msd.many > 2:
+        from .msa.refine import refine_msa
+        msd.weight = None
+        res = refine_msa(msd, mtx, u=params.u, v=params.v, sh=params.sh,
+                         maxitr=maxitr, randseed=randseed,
+                         crand=GlibcRand(1))
+        msd = res.msa
+    return msd
