@@ -439,3 +439,94 @@ def to_newick(t: Tree, names: list[str]) -> str:
         return (f"({rec(t.left[i])},{rec(t.right[i])})"
                 + (f":{t.length[i]:.5f}" if i != t.root else ""))
     return rec(t.root) + ";"
+
+
+def parse_newick(text: str) -> tuple[Tree, list[str]]:
+    """Parse a (binary) Newick tree into the array Tree plus leaf names.
+
+    Multifurcations are resolved left-to-right into a binary caterpillar,
+    matching the reference's binary Btree reader (phyl.h:144-389).
+    """
+    text = text.strip().rstrip(";").strip()
+    pos = [0]
+
+    def parse_node():
+        children = []
+        name = ""
+        length = 0.0
+        if text[pos[0]] == "(":
+            pos[0] += 1
+            children.append(parse_node())
+            while text[pos[0]] == ",":
+                pos[0] += 1
+                children.append(parse_node())
+            assert text[pos[0]] == ")", f"bad newick at {pos[0]}"
+            pos[0] += 1
+        # optional label
+        start = pos[0]
+        while pos[0] < len(text) and text[pos[0]] not in ",():;":
+            pos[0] += 1
+        label = text[start:pos[0]]
+        if ":" in label:
+            pass
+        if pos[0] < len(text) and text[pos[0]] == ":":
+            pos[0] += 1
+            start = pos[0]
+            while pos[0] < len(text) and text[pos[0]] not in ",()":
+                pos[0] += 1
+            length = float(text[start:pos[0]])
+        name = label
+        return {"children": children, "name": name, "length": length}
+
+    root = parse_node()
+
+    leaves: list[dict] = []
+
+    def collect(nd):
+        if not nd["children"]:
+            leaves.append(nd)
+        for c in nd["children"]:
+            collect(c)
+
+    collect(root)
+    n = len(leaves)
+    total = 2 * n - 1
+    left = np.full(total, -1, np.int64)
+    right = np.full(total, -1, np.int64)
+    parent = np.full(total, -1, np.int64)
+    height = np.zeros(total)
+    length = np.zeros(total)
+    res = np.zeros(total)
+    ndesc = np.ones(total, np.int64)
+    names = [lf["name"] for lf in leaves]
+    next_id = [n]
+    leaf_iter = iter(range(n))
+
+    def build(nd) -> int:
+        if not nd["children"]:
+            i = next(leaf_iter)
+            length[i] = nd["length"]
+            return i
+        kids = [build(c) for c in nd["children"]]
+        cur = kids[0]
+        for k in kids[1:]:
+            i = next_id[0]
+            next_id[0] += 1
+            left[i], right[i] = cur, k
+            parent[cur] = parent[k] = i
+            ndesc[i] = ndesc[cur] + ndesc[k]
+            cur = i
+        length[cur] = nd["length"]
+        return cur
+
+    rt = build(root)
+    # ensure root is the last node id (array convention)
+    assert rt == total - 1, "newick tree must be binary-resolvable"
+    t = Tree(n, left, right, parent, height, length, res, ndesc)
+    # heights from lengths (leaves at 0 where consistent)
+    for i in t.postorder():
+        if t.left[i] >= 0:
+            height[i] = max(height[t.left[i]] + length[t.left[i]],
+                            height[t.right[i]] + length[t.right[i]])
+    _calres(t, t.root)
+    return t, names

@@ -130,3 +130,41 @@ def update_msa(groups: list[Msa], params: AlnParams | None = None,
                          crand=GlibcRand(1))
         msd = res.msa
     return msd
+
+
+def build_msa_guided(treefile: str, params: AlnParams | None = None,
+                     maxitr: int = 10, randseed: int = 1,
+                     refine: bool = True) -> Msa:
+    """Progressive MSA along a user guide tree whose leaf labels are
+    sequence file names (prrn5.cc:1834-1849 guidetree mode), followed by
+    the update-path refinement."""
+    from pathlib import Path
+    from .io import sniff_and_read
+    from .msa.progressive import progressive_msa
+    from .msa.refine import refine_msa
+
+    text = Path(treefile).read_text()
+    t, leaf_files = tree.parse_newick(text)
+    base = Path(treefile).parent
+    leaves = []
+    molc = None
+    for f in leaf_files:
+        p = Path(f)
+        if not p.exists():
+            p = base / f
+        recs = sniff_and_read(p)
+        if molc is None:
+            molc = ab.infer_molc(recs[0].seq)
+        leaves.append(single(ab.encode(recs[0].seq.replace("-", ""), molc),
+                             molc, recs[0].name))
+    if params is None:
+        params = default_params(molc, "prrn")
+    mtx, _ = scoring.build_matrix(molc, params)
+    msa = progressive_msa(leaves, t, mtx, u=params.u, v=params.v,
+                          sh=params.sh)
+    if refine and msa.many > 2:
+        res = refine_msa(msa, mtx, u=params.u, v=params.v, sh=params.sh,
+                         maxitr=maxitr, randseed=randseed,
+                         crand=GlibcRand(1))
+        msa = res.msa
+    return msa
