@@ -40,7 +40,7 @@ def prrn_main(argv=None) -> int:
         prog="prrn",
         description="TPU-native multiple sequence alignment with "
                     "randomized iterative refinement")
-    p.add_argument("inputs", nargs="+", help="sequence files")
+    p.add_argument("inputs", nargs="*", help="sequence files")
     p.add_argument("-u", type=float, default=None, help="gap extension")
     p.add_argument("-v", type=float, default=None, help="gap open")
     p.add_argument("-w", type=int, default=None, help="band shoulder")
@@ -53,7 +53,16 @@ def prrn_main(argv=None) -> int:
     p.add_argument("-yp", type=int, default=None, help="PAM level")
     p.add_argument("-U", action="store_true",
                    help="update mode: refine combined pre-aligned inputs")
+    p.add_argument("-b", default=None, metavar="TREE",
+                   help="guide tree file (Newick; leaves name seq files)")
     args = p.parse_args(argv)
+
+    if args.b:
+        from .pipeline import build_msa_guided
+        msa = build_msa_guided(args.b, randseed=args.R, maxitr=args.S,
+                               refine=args.I > 0)
+        _out(msa, args.F, args.o)
+        return 0
 
     per_file = [io.sniff_and_read(f) for f in args.inputs]
     records = [r for recs in per_file for r in recs]
