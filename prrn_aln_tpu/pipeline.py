@@ -35,6 +35,10 @@ def build_msa(records: list[SeqRecord], params: AlnParams | None = None,
 
     if len(seqs) == 1:
         return single(seqs[0], molc, names[0])
+    if len(seqs) >= 16:        # sl-forest scale-out (prrn5 min_seqs)
+        return build_msa_denovo_large(records, params, molc, maxitr=maxitr,
+                                      randseed=randseed, refine=refine,
+                                      mesh=mesh)
 
     d = distance.distance_matrix(seqs, mtx, u=params.u, v=params.v,
                                  sh=params.sh, mesh=mesh)
@@ -168,3 +172,58 @@ def build_msa_guided(treefile: str, params: AlnParams | None = None,
                          crand=GlibcRand(1))
         msa = res.msa
     return msa
+
+
+def build_msa_denovo_large(records, params: AlnParams, molc: int,
+                           maxitr: int = 10, randseed: int = 1,
+                           refine: bool = True, m_nearest: int = 8,
+                           max_memb: int = 2 ** 31 - 1, mesh=None) -> Msa:
+    """De-novo MSA for many sequences via the single-linkage forest
+    (reference de_novo_prrn, prrn5.cc:1300-1332 + SlfPrrn::make_msa
+    :1174-1260): sparse k-mer-filtered DP distance graph, Kruskal forest,
+    per-subtree progressive + refinement, profile combination, leftover
+    singletons cut in, final refinement."""
+    from .msa import slforest
+    from .msa.progressive import progressive_msa
+    from .msa.refine import refine_msa
+
+    mtx, _ = scoring.build_matrix(molc, params)
+    seqs = [ab.encode(r.seq.replace("-", ""), molc) for r in records]
+    names = [r.name for r in records]
+    n = len(seqs)
+
+    edges = slforest.candidate_edges(
+        seqs, molc, mtx, u=params.u, v=params.v, sh=params.sh,
+        thr=params.thr, m_nearest=m_nearest, mesh=mesh)
+    trees, singles = slforest.build_forest(n, edges, thr=params.thr,
+                                           max_memb=max_memb)
+    crand = GlibcRand(1)
+    sub_msas = []
+    for t_node in trees:
+        t, leaf_ids = slforest.slnode_to_tree(t_node)
+        leaves = [single(seqs[i], molc, names[i]) for i in leaf_ids]
+        m = progressive_msa(leaves, t, mtx, u=params.u, v=params.v,
+                            sh=params.sh)
+        if refine and m.many > 2:
+            res = refine_msa(m, mtx, u=params.u, v=params.v, sh=params.sh,
+                             maxitr=maxitr, randseed=randseed, crand=crand)
+            m = res.msa
+        sub_msas.append(m)
+
+    if not sub_msas:
+        # no edges below threshold: fall back to all-by-all
+        return build_msa(records, params=params, molc=molc, maxitr=maxitr,
+                         randseed=randseed, refine=refine, mesh=mesh)
+
+    msd = sub_msas[0]
+    for other in sub_msas[1:]:
+        msd = update_msa([msd, other], params=params, molc=molc,
+                         refine=False)
+    for sid in singles:
+        msd = cut_in(msd, single(seqs[sid], molc, names[sid]), mtx, params)
+    if refine and msd.many > 2 and (len(sub_msas) > 1 or singles):
+        msd.weight = None
+        res = refine_msa(msd, mtx, u=params.u, v=params.v, sh=params.sh,
+                         maxitr=maxitr, randseed=randseed, crand=crand)
+        msd = res.msa
+    return msd
