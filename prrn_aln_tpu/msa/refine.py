@@ -147,20 +147,35 @@ class RefineResult:
 def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
                maxitr: int = 10, randseed: int = 1,
                crand: GlibcRand | None = None,
-               accept_ties: bool = True) -> RefineResult:
-    """One Prrn pass over a flat MSA (every sequence its own group)."""
+               accept_ties: bool = True,
+               tree_data=None, col_range=None) -> RefineResult:
+    """One Prrn pass over a flat MSA (every sequence its own group).
+
+    ``tree_data`` = (tree, vol, cur, leaf_vol) reuses a precomputed guide
+    tree (the consreg flow refines column ranges under one global tree);
+    ``col_range`` restricts realignment to columns [lo, hi) of the MSA,
+    splicing the result back (preprrn per-attack-range Prrn)."""
     n = msa.many
     if n <= 2:
         return RefineResult(msa, None, 0, 0)
     if crand is None:
         crand = GlibcRand(1)
 
-    # phyl_pwt: tree + weights from in-MSA divergences
-    d = msa_distance_matrix(msa.codes)
-    t = upgma(d, n)
-    pairwt, leaf_vol, vol, cur = calc_pair_weights(t, full=True)
+    if tree_data is None:
+        # phyl_pwt: tree + weights from in-MSA divergences
+        d = msa_distance_matrix(msa.codes)
+        t = upgma(d, n)
+        pairwt, leaf_vol, vol, cur = calc_pair_weights(t, full=True)
+    else:
+        t, vol, cur, leaf_vol = tree_data
     msa = Msa(codes=msa.codes.copy(), molc=msa.molc, names=list(msa.names),
               weight=leaf_vol, tgapf=msa.tgapf)
+
+    full_codes = msa.codes
+    if col_range is not None:
+        lo, hi = col_range
+        msa = Msa(codes=full_codes[:, lo:hi].copy(), molc=msa.molc,
+                  names=msa.names, weight=leaf_vol, tgapf=msa.tgapf)
 
     parts = _tree_partitions(t)
     cycle = 2 * n - 3
@@ -252,6 +267,43 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
     # drop all-gap columns
     keep = (joint > ab.GAP).any(axis=0)
     joint = joint[:, keep]
+    if col_range is not None:
+        lo, hi = col_range
+        joint = np.concatenate(
+            [full_codes[:, :lo], joint, full_codes[:, hi:]], axis=1)
     out = Msa(codes=joint, molc=msa.molc, names=names, weight=leaf_vol,
               tgapf=msa.tgapf)
     return RefineResult(out, None, improvements, i)
+
+
+def refine_with_consreg(msa: Msa, mtx: np.ndarray, u: float, v: float,
+                        sh: int, maxitr: int = 10, randseed: int = 1,
+                        crand: GlibcRand | None = None) -> RefineResult:
+    """preprrn with conserved-region segmentation (prrn5.cc:786-839):
+    one global tree/weighting, then per-attack-range Prrn passes, walked
+    from the last range to the first so indices stay valid."""
+    from .consreg import attack_ranges
+
+    n = msa.many
+    if n <= 2:
+        return RefineResult(msa, None, 0, 0)
+    if crand is None:
+        crand = GlibcRand(1)
+    d = msa_distance_matrix(msa.codes)
+    t = upgma(d, n)
+    pairwt, leaf_vol, vol, cur = calc_pair_weights(t, full=True)
+    work = Msa(codes=msa.codes.copy(), molc=msa.molc, names=list(msa.names),
+               weight=leaf_vol, tgapf=msa.tgapf)
+    ranges = attack_ranges(work, t, mtx)
+    improvements = iterations = 0
+    for lo, hi in reversed(ranges):
+        if hi - lo < 2:
+            continue
+        res = refine_msa(work, mtx, u=u, v=v, sh=sh, maxitr=maxitr,
+                         randseed=randseed, crand=crand,
+                         tree_data=(t, vol, cur, leaf_vol),
+                         col_range=(lo, hi))
+        work = res.msa
+        improvements += res.improvements
+        iterations += res.iterations
+    return RefineResult(work, None, improvements, iterations)

@@ -23,7 +23,7 @@ from .utils.crand import GlibcRand
 def build_msa(records: list[SeqRecord], params: AlnParams | None = None,
               molc: int | None = None, maxitr: int = 10,
               randseed: int = 1, refine: bool = True,
-              mesh=None) -> Msa:
+              local_thr: float = 35.0, mesh=None) -> Msa:
     if molc is None:
         molc = ab.infer_molc(records[0].seq)
     if params is None:
@@ -49,8 +49,14 @@ def build_msa(records: list[SeqRecord], params: AlnParams | None = None,
                           sh=params.sh)
     if refine and msa.many > 2:
         crand = GlibcRand(1)
-        res = refine_msa(msa, mtx, u=params.u, v=params.v, sh=params.sh,
-                         maxitr=maxitr, randseed=randseed, crand=crand)
+        if local_thr > 0:
+            from .msa.refine import refine_with_consreg
+            res = refine_with_consreg(msa, mtx, u=params.u, v=params.v,
+                                      sh=params.sh, maxitr=maxitr,
+                                      randseed=randseed, crand=crand)
+        else:
+            res = refine_msa(msa, mtx, u=params.u, v=params.v, sh=params.sh,
+                             maxitr=maxitr, randseed=randseed, crand=crand)
         msa = res.msa
     return msa
 

@@ -71,13 +71,14 @@ def _pairwt_of(msa):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("golden_file,refine", [
-    ("golden_prrn_prog7.txt", False),
-    ("golden_prrn_clean7.txt", True),
+@pytest.mark.parametrize("golden_file,refine,local_thr", [
+    ("golden_prrn_prog7.txt", False, 0.0),
+    ("golden_prrn_clean7.txt", True, 0.0),     # reference run with -YH0
+    ("golden_prrn_default7.txt", True, 35.0),  # default consreg mode
 ])
-def test_prrn_pipeline(golden_file, refine):
+def test_prrn_pipeline(golden_file, refine, local_thr):
     recs = io.read_fasta(FIX / "ce13a17_clean.fa")
-    msa = build_msa(recs, refine=refine, randseed=0)
+    msa = build_msa(recs, refine=refine, randseed=0, local_thr=local_thr)
     golden = _golden_rows(golden_file)
     assert set(msa.names) == set(golden)
     assert list(golden) == msa.names          # same row order
