@@ -70,7 +70,7 @@ def reduced_table(molc: int, nalpha: int = 0) -> tuple[np.ndarray, int]:
 
 @dataclasses.dataclass
 class KmerCounts:
-    counts: dict      # (pattern_idx, word) -> count
+    counts: list      # per-seed dense count arrays (int32)
     total: int        # total counted words
     many: int = 1
 
@@ -78,7 +78,9 @@ class KmerCounts:
 def count_kmers(codes: np.ndarray, molc: int, k: int | None = None,
                 seeds: tuple[str, ...] | None = None,
                 nalpha: int = 0) -> KmerCounts:
-    """Spaced-seed word counts of one sequence (gaps break windows)."""
+    """Spaced-seed word counts of one sequence (gaps break windows).
+    Counting runs in the native host library when available."""
+    from .. import native
     if k is None:
         k = PROT_K if molc == ab.PROTEIN else DNA_K
     if seeds is None:
@@ -86,24 +88,13 @@ def count_kmers(codes: np.ndarray, molc: int, k: int | None = None,
         if not seeds:
             seeds = ("1" * k,)
     tab, nalpha_eff = reduced_table(molc, nalpha)
-    red = tab[np.clip(codes, 0, 31)]
-    counts: dict = {}
+    red = tab[np.clip(codes, 0, 31)].astype(np.int8)
+    counts = []
     total = 0
-    L = len(red)
-    for p_idx, seed in enumerate(seeds):
-        on = [i for i, c in enumerate(seed) if c == "1"]
-        width = len(seed)
-        for start in range(0, L - width + 1):
-            window = red[start:start + width]
-            sel = window[on]
-            if (sel < 0).any():
-                continue
-            w = 0
-            for c in sel:
-                w = w * nalpha_eff + int(c)
-            key = (p_idx, w)
-            counts[key] = counts.get(key, 0) + 1
-            total += 1
+    for seed in seeds:
+        c, t = native.kmer_count(red, seed, nalpha_eff)
+        counts.append(c)
+        total += t
     return KmerCounts(counts=counts, total=total)
 
 
@@ -115,13 +106,10 @@ _QDIV_PARAM = {0: (0.92042, 0.18677), 1: (0.34576, 0.07108),
 def qdiv(a: KmerCounts, b: KmerCounts, molc: int,
          pam_corrected: bool = True) -> float:
     """Composition divergence (qdiv.cc:179-230), in [0, ~1]."""
+    from .. import native
     s = 0
-    small, big = (a, b) if len(a.counts) <= len(b.counts) else (b, a)
-    for key, ca in small.counts.items():
-        cb = big.counts.get(key)
-        if cb is not None:
-            x, y = (ca, cb) if small is a else (cb, ca)
-            s += min(x * b.many, y * a.many)
+    for ca, cb in zip(a.counts, b.counts):
+        s += native.kmer_min_overlap(ca, cb, a.many, b.many)
     if a.total and b.total:
         denom = min(a.total / a.many, b.total / b.many) * a.many * b.many
         f = s / denom
