@@ -35,6 +35,33 @@ def _out(msa, fmt: str, path=None):
         sys.stdout.write(text)
 
 
+def _emit(msa, args):
+    """prrn output modes (Msa::output, prrn5.cc:1738-1806)."""
+    if args.O & 1:
+        _out(msa, args.F, args.o)
+    need_tree = args.O & (2 | 4)
+    if need_tree and msa.many > 2:
+        from .msa import distance as dmod, tree as tmod, wsp
+        d = dmod.msa_distance_matrix(msa.codes)
+        t = tmod.upgma(d, msa.many)
+        pairwt, vol = tmod.calc_pair_weights(t)
+        mtx, _ = scoring.build_matrix(msa.molc, default_params(msa.molc,
+                                                               "prrn"))
+        if args.O & 2:
+            from .msa.outliers import find_outliers, outlier_report
+            outs = find_outliers(msa, t, mtx)
+            sys.stdout.write(outlier_report(msa, outs))
+        if args.O & 4:
+            span = msa.length
+            ncomb = msa.many * (msa.many - 1) // 2
+            sp = wsp.wsp_score(msa, mtx, v=9.0)
+            wspv = wsp.wsp_score(msa, mtx, v=9.0, pairwt=pairwt)
+            npw = float(pairwt.sum())
+            print(f"{msa.names[0]} [ {msa.many} ] {span}\t"
+                  f"{sp:7.1f} {100.0 * sp / ncomb / span:7.3f} "
+                  f"{wspv:7.1f} {100.0 * wspv / npw / span:7.3f}")
+
+
 def prrn_main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="prrn",
@@ -55,13 +82,17 @@ def prrn_main(argv=None) -> int:
                    help="update mode: refine combined pre-aligned inputs")
     p.add_argument("-b", default=None, metavar="TREE",
                    help="guide tree file (Newick; leaves name seq files)")
+    p.add_argument("-O", type=int, default=1,
+                   help="output bits: 1=alignment, 2=outliers, 4=SP scores")
+    p.add_argument("-YH", type=float, default=35.0,
+                   help="consreg threshold (0 disables)")
     args = p.parse_args(argv)
 
     if args.b:
         from .pipeline import build_msa_guided
         msa = build_msa_guided(args.b, randseed=args.R, maxitr=args.S,
                                refine=args.I > 0)
-        _out(msa, args.F, args.o)
+        _emit(msa, args)
         return 0
 
     per_file = [io.sniff_and_read(f) for f in args.inputs]
@@ -97,8 +128,9 @@ def prrn_main(argv=None) -> int:
                          randseed=args.R, refine=args.U)
     else:
         msa = build_msa(records, params=params, molc=molc, maxitr=args.S,
-                        randseed=args.R, refine=args.I > 0)
-    _out(msa, args.F, args.o)
+                        randseed=args.R, refine=args.I > 0,
+                        local_thr=args.YH)
+    _emit(msa, args)
     return 0
 
 

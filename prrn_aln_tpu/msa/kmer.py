@@ -122,7 +122,8 @@ def qdiv(a: KmerCounts, b: KmerCounts, molc: int,
     f2 = p0 * math.log((p1 + f) / (p1 + 1.0)) + 1.0
     d2 = 1.0 - f2
     if molc == ab.PROTEIN:
-        return _pamcorrect(d2) / 100.0
+        # Qpamd with default corr_mhits=0: pamcorrect is linear (100*x)
+        return max(d2, 0.0)
     return _jukes_cantor(d2)
 
 
