@@ -146,6 +146,8 @@ def aln_main(argv=None) -> int:
                    default="native")
     p.add_argument("-o", default=None)
     p.add_argument("-yp", type=int, default=None, help="PAM level")
+    p.add_argument("-R", type=int, default=0, metavar="N",
+                   help="shuffle significance test with N jumbles")
     args = p.parse_args(argv)
 
     groups = []
@@ -168,6 +170,14 @@ def aln_main(argv=None) -> int:
         import dataclasses
         params = dataclasses.replace(params, **over)
     mtx, _ = scoring.build_matrix(A.molc, params)
+    if args.R > 0 and A.many == 1 and B.many == 1:
+        from .msa.shuffle import shuffle_test
+        r = shuffle_test(A.codes[0].astype(np.int32),
+                         B.codes[0].astype(np.int32), mtx,
+                         u=params.u, v=params.v, sh=params.sh,
+                         njumble=args.R)
+        print(f"Dev = {r['dev']:6.2f}  AV = {r['mean']:7.2f}  "
+              f"SD = {r['sd']:7.2f}   ({r['njumble']} jumbles)")
     score, skl, swapped = align_pair(A, B, mtx, u=params.u, v=params.v,
                                      sh=params.sh)
     if swapped:
@@ -208,6 +218,101 @@ def phyln_main(argv=None) -> int:
     t = (tmod.neighbor_joining(d, n) if args.m == "nj"
          else tmod.upgma(d, n))
     print(tmod.to_newick(t, names))
+    return 0
+
+
+
+def rdn_main(argv=None) -> int:
+    """MSA editing utility (reference rdn)."""
+    p = argparse.ArgumentParser(prog="rdn", description="MSA row/column "
+                                "editing (extract, dedup, degap, justify)")
+    p.add_argument("input")
+    p.add_argument("-e", default=None, metavar="IDX",
+                   help="extract 1-based member indices, comma separated")
+    p.add_argument("-d", action="store_true", help="remove duplicates")
+    p.add_argument("-c", action="store_true", help="delete common gaps")
+    p.add_argument("-j", choices=["l", "r"], default=None, help="justify")
+    p.add_argument("-F", choices=["native", "fasta", "clustal", "phylip",
+                                  "msf", "gde"], default="fasta")
+    p.add_argument("-o", default=None)
+    args = p.parse_args(argv)
+
+    from .utils import seqtools as st
+    recs = io.sniff_and_read(args.input)
+    msa = io.records_to_msa(recs)
+    if args.e:
+        keep = [int(x) - 1 for x in args.e.split(",")]
+        msa = st.extract_members(msa, keep)
+    if args.d:
+        msa = st.remove_duplicates(msa)
+    if args.j:
+        msa = st.justify(msa, left=args.j == "l")
+    if args.c:
+        msa = st.delete_common_gaps(msa)
+    _out_any(msa, args.F, args.o)
+    return 0
+
+
+def _out_any(msa, fmt, path):
+    writer = {"fasta": io.write_fasta, "clustal": io.write_clustal,
+              "phylip": io.write_phylip, "msf": io.write_msf,
+              "gde": io.write_gde, "native": io.write_native_block}[fmt]
+    text = writer(msa)
+    if path:
+        from pathlib import Path
+        Path(path).write_text(text)
+    else:
+        sys.stdout.write(text)
+
+
+def utn_main(argv=None) -> int:
+    """Nucleotide utility (reference utn): composition, translation,
+    ORFs, reverse complement."""
+    p = argparse.ArgumentParser(prog="utn")
+    p.add_argument("input")
+    p.add_argument("-c", action="store_true", help="composition")
+    p.add_argument("-t", type=int, default=None, metavar="FRAME",
+                   help="translate in frame 0/1/2")
+    p.add_argument("-O", action="store_true", help="find ORFs")
+    p.add_argument("-r", action="store_true", help="reverse complement")
+    args = p.parse_args(argv)
+
+    from . import alphabet as abm
+    from .utils import seqtools as st
+    for rec in io.sniff_and_read(args.input):
+        codes = abm.encode(rec.seq.replace("-", ""), abm.DNA)
+        if args.c:
+            comp = st.composition(codes, abm.DNA)
+            total = sum(comp.values())
+            print(rec.name, total,
+                  " ".join(f"{k}:{v}" for k, v in sorted(comp.items())))
+        if args.t is not None:
+            print(f">{rec.name}_frame{args.t}")
+            print(st.translate(codes, args.t))
+        if args.O:
+            for s, e, f in st.find_orfs(codes):
+                print(f"{rec.name}	{s}	{e}	{f}")
+        if args.r:
+            print(f">{rec.name}_rc")
+            print(abm.decode(st.reverse_complement(codes), abm.DNA))
+    return 0
+
+
+def utp_main(argv=None) -> int:
+    """Protein utility (reference utp): composition."""
+    p = argparse.ArgumentParser(prog="utp")
+    p.add_argument("input")
+    p.add_argument("-c", action="store_true", help="composition")
+    args = p.parse_args(argv)
+
+    from . import alphabet as abm
+    from .utils import seqtools as st
+    for rec in io.sniff_and_read(args.input):
+        codes = abm.encode(rec.seq.replace("-", ""), abm.PROTEIN)
+        comp = st.composition(codes, abm.PROTEIN)
+        total = sum(comp.values())
+        print(rec.name, total,
+              " ".join(f"{k}:{v}" for k, v in sorted(comp.items())))
     return 0
 
 

@@ -92,6 +92,10 @@ def sniff_and_read(path: str | Path) -> list[SeqRecord]:
                 break
     if first.startswith(">"):
         return read_fasta(path)
+    if first.startswith("LOCUS"):
+        return read_genbank(path)
+    if first.startswith("ID"):
+        return read_embl(path)
     toks = first.split()
     if len(toks) >= 2 and toks[0].isdigit() and toks[1].isdigit():
         return read_native(path)
@@ -155,6 +159,99 @@ def write_native_block(msa: Msa, path=None, width: int = 60) -> str:
             out.append(f"{pos[i]:8d} {seg.ljust(width)}| {msa.names[i]}")
             pos[i] += sum(1 for c in seg if c not in "- ")
         out.append("")
+    text = "\n".join(out) + "\n"
+    if path:
+        Path(path).write_text(text)
+    return text
+
+
+def read_genbank(path: str | Path) -> list[SeqRecord]:
+    """Minimal GenBank flat-file reader (LOCUS/ORIGIN records)."""
+    recs = []
+    name, seq, in_seq = None, [], False
+    for line in Path(path).read_text().splitlines():
+        if line.startswith("LOCUS"):
+            if name:
+                recs.append(SeqRecord(name, "".join(seq)))
+            name = line.split()[1]
+            seq, in_seq = [], False
+        elif line.startswith("ORIGIN"):
+            in_seq = True
+        elif line.startswith("//"):
+            in_seq = False
+        elif in_seq:
+            seq.append(re.sub(r"[\s\d]", "", line))
+    if name:
+        recs.append(SeqRecord(name, "".join(seq)))
+    return recs
+
+
+def read_embl(path: str | Path) -> list[SeqRecord]:
+    """Minimal EMBL/SwissProt reader (ID/SQ records)."""
+    recs = []
+    name, seq, in_seq = None, [], False
+    for line in Path(path).read_text().splitlines():
+        if line.startswith("ID"):
+            if name:
+                recs.append(SeqRecord(name, "".join(seq)))
+            name = line.split()[1].rstrip(";")
+            seq, in_seq = [], False
+        elif line.startswith("SQ"):
+            in_seq = True
+        elif line.startswith("//"):
+            in_seq = False
+        elif in_seq:
+            seq.append(re.sub(r"[\s\d]", "", line))
+    if name:
+        recs.append(SeqRecord(name, "".join(seq)))
+    return recs
+
+
+def write_phylip(msa: Msa, path=None) -> str:
+    rows = [decode_row(msa, i) for i in range(msa.many)]
+    out = [f" {msa.many} {msa.length}"]
+    for name, row in zip(msa.names, rows):
+        out.append(f"{name[:10]:<10}{row[:50]}")
+    pos = 50
+    while pos < msa.length:
+        out.append("")
+        for row in rows:
+            out.append(" " * 10 + row[pos:pos + 50])
+        pos += 50
+    text = "\n".join(out) + "\n"
+    if path:
+        Path(path).write_text(text)
+    return text
+
+
+def write_msf(msa: Msa, path=None) -> str:
+    """GCG MSF interleaved output."""
+    rows = [decode_row(msa, i).replace("-", ".") for i in range(msa.many)]
+    width = max(len(n) for n in msa.names) + 2
+    out = [f"  MSA  MSF: {msa.length}  Type: "
+           f"{'P' if msa.molc == 1 else 'N'}  Check: 0  ..", ""]
+    for name in msa.names:
+        out.append(f" Name: {name:<{width}} Len: {msa.length}  Check: 0  "
+                   f"Weight: 1.00")
+    out += ["", "//", ""]
+    for start in range(0, msa.length, 50):
+        for name, row in zip(msa.names, rows):
+            seg = row[start:start + 50]
+            blocks = " ".join(seg[i:i + 10] for i in range(0, len(seg), 10))
+            out.append(f"{name:<{width}} {blocks}")
+        out.append("")
+    text = "\n".join(out) + "\n"
+    if path:
+        Path(path).write_text(text)
+    return text
+
+
+def write_gde(msa: Msa, path=None) -> str:
+    out = []
+    for i, name in enumerate(msa.names):
+        out.append(f"{'%' if msa.molc == 1 else '#'}{name}")
+        row = decode_row(msa, i)
+        out += [row[j:j + 60] for j in range(0, len(row), 60)]
     text = "\n".join(out) + "\n"
     if path:
         Path(path).write_text(text)

@@ -62,3 +62,18 @@ def test_phyln_cli(capsys):
     assert rc == 0
     newick = capsys.readouterr().out
     assert newick.count("(") == 5
+
+
+def test_shuffle_significance():
+    import numpy as np
+    from prrn_aln_tpu import scoring, alphabet
+    from prrn_aln_tpu.config import AlnParams
+    from prrn_aln_tpu.msa.shuffle import shuffle_test
+    mtx, _ = scoring.protein_matrix(AlnParams(pam=150))
+    a = alphabet.encode("MKVLAAGFDDEERRKKLLMMNPQSTWYHIV" * 4,
+                        alphabet.PROTEIN).astype(np.int32)
+    b = alphabet.encode("MKVLAGGFDEEERRKQLLMMNPQATWYHIV" * 4,
+                        alphabet.PROTEIN).astype(np.int32)
+    r = shuffle_test(a, b, mtx, u=2.0, v=9.0, sh=-50, njumble=8)
+    assert r["dev"] > 3.0          # homologs score far above shuffles
+    assert r["score"] > r["mean"]

@@ -1,0 +1,56 @@
+"""I/O format readers and writers."""
+
+from pathlib import Path
+
+import pytest
+
+from prrn_aln_tpu import io, alphabet as ab
+from prrn_aln_tpu.msa.msa import msa_from_strings
+
+FIX = Path(__file__).parent / "fixtures"
+
+
+def test_read_formats_from_reference_corpus():
+    # the reference sample corpus doubles as format fixtures (SURVEY §4)
+    gb = io.read_genbank("/root/reference/sample/nas/GenBank") \
+        if Path("/root/reference/sample/nas/GenBank").exists() else None
+    if gb is not None:
+        assert gb[0].name and len(gb[0].seq) > 1000
+        embl = io.read_embl("/root/reference/sample/nas/EMBL")
+        assert embl[0].name == "hm11b1" and len(embl[0].seq) == 2085
+
+
+def test_fasta_exon_comments(tmp_path):
+    f = tmp_path / "x.fa"
+    f.write_text(">g1 test\n;C join(100..200,300..400)\nMKVL\nAAGF\n")
+    recs = io.read_fasta(f)
+    assert recs[0].seq == "MKVLAAGF"
+    assert recs[0].exons == [(100, 200), (300, 400)]
+
+
+def test_writers_roundtrip(tmp_path):
+    m = msa_from_strings(["MKVL-AAG", "MKVLWAAG"], ab.PROTEIN, ["s1", "s2"])
+    fa = io.write_fasta(m)
+    assert ">s1" in fa and "MKVL-AAG" in fa
+    cl = io.write_clustal(m)
+    assert cl.startswith("CLUSTAL")
+    ph = io.write_phylip(m)
+    assert ph.splitlines()[0].strip() == "2 8"
+    msf = io.write_msf(m)
+    assert "MSF: 8" in msf and "MKVL.AAG" in msf
+    gde = io.write_gde(m)
+    assert gde.startswith("%s1")
+    nb = io.write_native_block(m)
+    assert "| s1" in nb
+
+
+def test_native_msa_roundtrip(tmp_path):
+    m = msa_from_strings(["MKVL-AAG", "MKVLWAAG"], ab.PROTEIN, ["s1", "s2"])
+    path = tmp_path / "msa.nat"
+    with open(path, "w") as f:
+        f.write(f"    2     8\tmsa\n")
+        for i, n in enumerate(m.names):
+            f.write(f">{n}\n{io.decode_row(m, i)}\n/\n")
+    recs = io.read_native(path)
+    assert [r.name for r in recs] == ["s1", "s2"]
+    assert recs[0].seq == "MKVL-AAG"
