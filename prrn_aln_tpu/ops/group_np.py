@@ -30,7 +30,7 @@ from .window import Window
 NEVSEL = -1.0e30
 
 # lane codes for traceback
-DIAG, VERT, HORI = 0, 1, 2
+DIAG, VERT, HORI, VERT2, HORI2 = 0, 1, 2, 3, 4
 
 
 def _col_arrays(msa: Msa):
@@ -54,14 +54,24 @@ def _col_arrays(msa: Msa):
 
 
 def group_align_np(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
-                   wdw: Window, scale: float = 1.0):
+                   wdw: Window, scale: float = 1.0,
+                   ls: int = 1, u1: float = 0.6, k1: int = 7):
     """Banded group alignment.  Returns (score, skl) with skl a list of
-    (m, n) path vertices from (0,0) to (La, Lb)."""
+    (m, n) path vertices from (0,0) to (La, Lb).
+
+    ``ls=3`` enables the double-affine (long-gap) lane pair with slope u1
+    and flex point k1 (reference PwdB LongGOP/LongGEP, aln.h:267-280,
+    and the g2/f2 lanes of fwd2c.h forwardB)."""
     La, Lb = A.length, B.length
     an, bn = A.many, B.many
     wa = (A.weight if A.weight is not None else np.ones(an)).astype(np.float64)
     wb = (B.weight if B.weight is not None else np.ones(bn)).astype(np.float64)
     GOP = -scale * v           # Basic_GOP
+    double_affine = ls >= 3
+    # long-gap scalings (aln2.cc PwdB ctor): LongGOP/BasicGOP, LongGEP/BasicGEP
+    v2divv1 = (v + (u - u1) * k1) / v if double_affine else 0.0
+    u2divu1 = (u1 / u) if double_affine else 0.0
+    codonk1 = k1 if double_affine else 10 ** 9
     lw, up = wdw.lw, wdw.up
 
     # column score table S[m', n'] for consumed columns (1-based)
@@ -87,6 +97,7 @@ def group_align_np(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
 
     H = new_state()
     G = new_state()
+    G2 = new_state() if double_affine else None
 
     D_DIAG, D_VERT, D_HORI = 1, 2, 3
 
@@ -116,6 +127,8 @@ def group_align_np(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
     hsrc = np.zeros((La + 1, Lb + 1), np.int8)   # which lane won H
     gsrc = np.zeros((La + 1, Lb + 1), np.int8)   # 1 = opened from H
     fsrc = np.zeros((La + 1, Lb + 1), np.int8)
+    g2src = np.zeros((La + 1, Lb + 1), np.int8)
+    f2src = np.zeros((La + 1, Lb + 1), np.int8)
 
     # ---------------- boundary (initB) --------------------------------
     H["val"][off + 0] = 0.0
@@ -129,7 +142,10 @@ def group_align_np(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
     for npr in range(1, rr + 1):
         pub = cfb[npr] * efa[0] * -u
         gnp = crg(prev_gla, prev_glb, 0, npr, -1)
-        val = prev_val + gnp + pub
+        if npr >= codonk1:
+            val = prev_val + v2divv1 * gnp + u2divu1 * pub
+        else:
+            val = prev_val + gnp + pub
         gla_new = prev_gla + 1
         glb_new = np.where(bgap[npr], prev_glb + 1, 0)
         i = off + npr
@@ -146,7 +162,10 @@ def group_align_np(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
     for mpr in range(1, -rr + 1):
         pua = cfa[mpr] * efb[0] * -u
         gnp = crg(prev_gla, prev_glb, mpr, 0, +1)
-        val = prev_val + gnp + pua
+        if mpr >= codonk1:
+            val = prev_val + v2divv1 * gnp + u2divu1 * pua
+        else:
+            val = prev_val + gnp + pua
         gla_new = np.where(agap[mpr], prev_gla + 1, 0)
         glb_new = prev_glb + 1
         i = off - mpr
@@ -168,6 +187,9 @@ def group_align_np(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
         f_dir = 0
         f_gla = np.zeros(an, np.int32)
         f_glb = np.zeros(bn, np.int32)
+        f2_val = NEVSEL
+        f2_gla = np.zeros(an, np.int32)
+        f2_glb = np.zeros(bn, np.int32)
         for npr in range(n_lo, n_hi + 1):
             ncol = npr
             r = npr - mcol
@@ -211,6 +233,36 @@ def group_align_np(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
             mx_val, mx_lane = g_val, VERT
             mx_gla, mx_glb = g_gla, g_glb
 
+            # --- long vertical lane (g2) -------------------------------
+            if G2 is not None and mcol > 1 and i + 1 < nslot:
+                pua = cfa[mcol] * efb[ncol] * -u
+                gnp2 = v2divv1 * crg(G2["gla"][i + 1], G2["glb"][i + 1],
+                                     mcol, ncol, +1)
+                gop2 = v2divv1 * crg(H["gla"][i + 1], H["glb"][i + 1],
+                                    mcol, ncol, +1)
+                open_ok = H["dir"][i + 1] != D_VERT
+                if open_ok and (H["val"][i + 1] + gop2 >
+                                G2["val"][i + 1] + gnp2):
+                    g2_val = H["val"][i + 1] + gop2
+                    g2_gla = np.where(agap[mcol], H["gla"][i + 1] + 1, 0)
+                    g2_glb = H["glb"][i + 1] + 1
+                    g2_open = 1
+                else:
+                    g2_val = G2["val"][i + 1] + gnp2
+                    g2_gla = np.where(agap[mcol], G2["gla"][i + 1] + 1, 0)
+                    g2_glb = G2["glb"][i + 1] + 1
+                    g2_open = 0
+                g2_val += u2divu1 * pua
+                G2["val"][i] = g2_val
+                G2["gla"][i] = g2_gla
+                G2["glb"][i] = g2_glb
+                g2src[mcol, ncol] = g2_open
+                if g2_val > mx_val:
+                    mx_val, mx_lane = g2_val, VERT2
+                    mx_gla, mx_glb = g2_gla, g2_glb
+            elif G2 is not None:
+                G2["val"][i] = NEVSEL
+
             # --- horizontal lane (skip on first grid column) -----------
             if ncol > 1:
                 pub = cfb[ncol] * efa[mcol] * -u
@@ -240,10 +292,32 @@ def group_align_np(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
                     mx_val, mx_lane = f_val, HORI
                     mx_gla, mx_glb = f_gla, f_glb
 
+                # --- long horizontal lane (f2) -------------------------
+                if G2 is not None:
+                    gnp2 = v2divv1 * crg(f2_gla, f2_glb, mcol, ncol, -1)
+                    gop2 = v2divv1 * crg(hm_gla, hm_glb, mcol, ncol, -1)
+                    open_ok2 = hm_dir != D_HORI
+                    if open_ok2 and (hm_val + gop2 > f2_val + gnp2):
+                        f2_val = hm_val + gop2
+                        f2_gla = hm_gla + 1
+                        f2_glb = np.where(bgap[ncol], hm_glb + 1, 0)
+                        f2_open = 1
+                    else:
+                        f2_val = f2_val + gnp2
+                        f2_gla = f2_gla + 1
+                        f2_glb = np.where(bgap[ncol], f2_glb + 1, 0)
+                        f2_open = 0
+                    f2_val += u2divu1 * pub
+                    f2src[mcol, ncol] = f2_open
+                    if f2_val >= mx_val:
+                        mx_val, mx_lane = f2_val, HORI2
+                        mx_gla, mx_glb = f2_gla, f2_glb
+
             # --- select -------------------------------------------------
             if mx_val > d_val:
                 H["val"][i] = mx_val
-                H["dir"][i] = D_VERT if mx_lane == VERT else D_HORI
+                H["dir"][i] = (D_VERT if mx_lane in (VERT, VERT2)
+                               else D_HORI)
                 H["gla"][i] = mx_gla
                 H["glb"][i] = mx_glb
                 hsrc[mcol, ncol] = mx_lane
@@ -255,11 +329,11 @@ def group_align_np(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
                 hsrc[mcol, ncol] = DIAG
 
     score = H["val"][off + (Lb - La)]
-    skl = _traceback(hsrc, gsrc, fsrc, La, Lb)
+    skl = _traceback(hsrc, gsrc, fsrc, La, Lb, g2src, f2src)
     return float(score), skl
 
 
-def _traceback(hsrc, gsrc, fsrc, La, Lb):
+def _traceback(hsrc, gsrc, fsrc, La, Lb, g2src=None, f2src=None):
     """Walk lanes back from (La, Lb); emit vertices at direction changes."""
     m, n = La, Lb
     moves = []          # list of lane codes walked (reversed)
@@ -272,21 +346,23 @@ def _traceback(hsrc, gsrc, fsrc, La, Lb):
                 m, n = m - 1, n - 1
             elif src == VERT:
                 lane = "G"
+            elif src == VERT2:
+                lane = "G2"
+            elif src == HORI2:
+                lane = "F2"
             else:
                 lane = "F"
-        elif lane == "G":
-            opened = gsrc[m, n]
+        elif lane in ("G", "G2"):
+            opened = (gsrc if lane == "G" else g2src)[m, n]
             moves.append(VERT)
             m -= 1
-            lane = "H" if opened else "G"
-            if lane == "G" and m == 0:
+            if opened or m == 0:
                 lane = "H"
         else:
-            opened = fsrc[m, n]
+            opened = (fsrc if lane == "F" else f2src)[m, n]
             moves.append(HORI)
             n -= 1
-            lane = "H" if opened else "F"
-            if lane == "F" and n == 0:
+            if opened or n == 0:
                 lane = "H"
     moves.reverse()
     # compress runs into SKL vertices
