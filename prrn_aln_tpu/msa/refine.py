@@ -148,7 +148,8 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
                maxitr: int = 10, randseed: int = 1,
                crand: GlibcRand | None = None,
                accept_ties: bool = True,
-               tree_data=None, col_range=None) -> RefineResult:
+               tree_data=None, col_range=None,
+               nbatch: int = 1) -> RefineResult:
     """One Prrn pass over a flat MSA (every sequence its own group).
 
     ``tree_data`` = (tree, vol, cur, leaf_vol) reuses a precomputed guide
@@ -190,35 +191,17 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
     names = msa.names
     dim = mtx.shape[0]
 
-    nrep = 0
-    improvements = 0
-    i = 0
-    maxi = maxitr * cycle
-    while i < maxi:
-        i += 1
-        while True:
-            rnbr = mcr.mcrand()
-            if rnbr < cycle:
-                break
-        members = parts[rnbr]
-        pwt, wfact = calcfact(t, vol, cur, rnbr)
-        lst1 = members                      # bit==1 side (under node)
-        lst0 = [k for k in range(n) if k not in set(members)]
-        # reference swaps so lst[0] is the larger side by member count
-        if len(lst0) < len(lst1):
-            lst0, lst1 = lst1, lst0
-
-        S0, keep0 = _side_msa(joint, lst0, wfact[lst0], names, msa.molc,
-                              msa.tgapf)
-        S1, keep1 = _side_msa(joint, lst1, wfact[lst1], names, msa.molc,
-                              msa.tgapf)
-        # skip if neither side had a common-gap column (divideseq)
+    def prepare_candidate_like(cand):
+        """Re-derive a candidate from its row partition on the CURRENT
+        joint (used when replaying batched candidates)."""
+        lst0, lst1 = cand["lst0"], cand["lst1"]
+        pwt = cand["pwt"]
+        wf0 = cand["A"].weight if not cand["swapped"] else cand["B"].weight
+        wf1 = cand["B"].weight if not cand["swapped"] else cand["A"].weight
+        S0, keep0 = _side_msa(joint, lst0, wf0, names, msa.molc, msa.tgapf)
+        S1, keep1 = _side_msa(joint, lst1, wf1, names, msa.molc, msa.tgapf)
         if not ((~keep0).any() or (~keep1).any()):
-            nrep += 1
-            if nrep >= cycle:
-                break
-            continue
-
+            return None
         swapped = select_swap(S0, S1)
         A, B = (S1, S0) if swapped else (S0, S1)
         A.prepare(dim)
@@ -228,35 +211,148 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
             old_moves = [(0 if m == 0 else 3 - m) for m in old_moves]
         old_skl = moves_to_skl(old_moves)
         sps_old = score_path(A, B, mtx, old_skl, u=u, v=v)
+        return dict(pwt=pwt, lst0=lst0, lst1=lst1, A=A, B=B,
+                    swapped=swapped, old_skl=old_skl, sps_old=sps_old)
 
-        wdw = stripe(A.length, B.length, sh)
-        score_new, new_skl = group_align(A, B, mtx, u=u, v=v, wdw=wdw,
-                                         pads=(n, joint.shape[1] + 32))
-        changed = new_skl != old_skl
-        delta = pwt * (score_new - sps_old) if changed else 0.0
+    def prepare_candidate(rnbr):
+        """divideseq: sides, weights, old path for one partition.
+        Returns None when the partition is skipped."""
+        members = parts[rnbr]
+        pwt, wfact = calcfact(t, vol, cur, rnbr)
+        lst1 = members                      # bit==1 side (under node)
+        lst0 = [k for k in range(n) if k not in set(members)]
+        if len(lst0) < len(lst1):
+            lst0, lst1 = lst1, lst0
+        S0, keep0 = _side_msa(joint, lst0, wfact[lst0], names, msa.molc,
+                              msa.tgapf)
+        S1, keep1 = _side_msa(joint, lst1, wfact[lst1], names, msa.molc,
+                              msa.tgapf)
+        if not ((~keep0).any() or (~keep1).any()):
+            return None
+        swapped = select_swap(S0, S1)
+        A, B = (S1, S0) if swapped else (S0, S1)
+        A.prepare(dim)
+        B.prepare(dim)
+        old_moves = _paths_from_masks(keep0, keep1)
+        if swapped:
+            old_moves = [(0 if m == 0 else 3 - m) for m in old_moves]
+        old_skl = moves_to_skl(old_moves)
+        sps_old = score_path(A, B, mtx, old_skl, u=u, v=v)
+        return dict(pwt=pwt, lst0=lst0, lst1=lst1, A=A, B=B,
+                    swapped=swapped, old_skl=old_skl, sps_old=sps_old)
+
+    def evaluate(cand, score_new, new_skl):
+        changed = new_skl != cand["old_skl"]
+        delta = cand["pwt"] * (score_new - cand["sps_old"]) if changed else 0.0
         # the reference evaluates the old path and the realignment with
         # two differently-ordered f32 summations, so equal-score
         # alternative paths surface as tiny positive deltas it accepts
         # (prrn5.cc:645); deterministically accept score-preserving path
         # changes to explore the same tie-equivalent neighbourhood
-        accept = flt(0.0, delta) or (changed and accept_ties
-                                     and delta >= -FEPS * max(1.0, abs(sps_old)))
+        accept = flt(0.0, delta) or (
+            changed and accept_ties
+            and delta >= -FEPS * max(1.0, abs(cand["sps_old"])))
+        return accept, delta
+
+    def apply_candidate(cand, new_skl):
+        nonlocal joint
+        A, B = cand["A"], cand["B"]
+        moves = skl_to_moves(new_skl)
+        L = len(moves)
+        new_joint = np.full((n, L), ab.GAP, np.int8)
+        rows_a = cand["lst1"] if cand["swapped"] else cand["lst0"]
+        rows_b = cand["lst0"] if cand["swapped"] else cand["lst1"]
+        ma = nb_ = 0
+        for c, mv in enumerate(moves):
+            if mv in (0, 1):
+                new_joint[rows_a, c] = A.codes[:, ma]
+                ma += 1
+            if mv in (0, 2):
+                new_joint[rows_b, c] = B.codes[:, nb_]
+                nb_ += 1
+        joint = new_joint
+
+    nrep = 0
+    improvements = 0
+    i = 0
+    maxi = maxitr * cycle
+    pads = (n, joint.shape[1] + 32)
+    while i < maxi:
+        if nbatch > 1:
+            # best-of-n speculative fan-out (reference P3) as one batch
+            cands = []
+            while len(cands) < nbatch and i < maxi:
+                i += 1
+                while True:
+                    rnbr = mcr.mcrand()
+                    if rnbr < cycle:
+                        break
+                c = prepare_candidate(rnbr)
+                if c is None:
+                    nrep += 1
+                else:
+                    cands.append(c)
+                if nrep >= cycle:
+                    break
+            if not cands:
+                if nrep >= cycle:
+                    break
+                continue
+            from ..ops.group import group_align_batch
+            results = group_align_batch(
+                [(c["A"], c["B"]) for c in cands], mtx, u=u, v=v, sh=sh,
+                pads=pads)
+            scored = []
+            for c, (s_new, skl_new) in zip(cands, results):
+                acc, delta = evaluate(c, s_new, skl_new)
+                scored.append((delta, acc, c, skl_new))
+            scored.sort(key=lambda x: -x[0])
+            applied = False
+            for k, (delta, acc, c, skl_new) in enumerate(scored):
+                if not acc:
+                    break
+                if not applied:
+                    apply_candidate(c, skl_new)
+                    applied = True
+                    improvements += 1
+                    nrep = 1
+                else:
+                    # replay against the updated state (rir serial replay)
+                    c2 = prepare_candidate_like(c)
+                    if c2 is None:
+                        continue
+                    wdw = stripe(c2["A"].length, c2["B"].length, sh)
+                    s2, skl2 = group_align(c2["A"], c2["B"], mtx, u=u, v=v,
+                                           wdw=wdw, pads=pads)
+                    acc2, _ = evaluate(c2, s2, skl2)
+                    if acc2:
+                        apply_candidate(c2, skl2)
+                        improvements += 1
+                        nrep = 1
+            if not applied:
+                nrep += len(cands)
+            if nrep >= cycle:
+                break
+            continue
+
+        i += 1
+        while True:
+            rnbr = mcr.mcrand()
+            if rnbr < cycle:
+                break
+        cand = prepare_candidate(rnbr)
+        if cand is None:
+            nrep += 1
+            if nrep >= cycle:
+                break
+            continue
+        A, B = cand["A"], cand["B"]
+        wdw = stripe(A.length, B.length, sh)
+        score_new, new_skl = group_align(A, B, mtx, u=u, v=v, wdw=wdw,
+                                         pads=pads)
+        accept, delta = evaluate(cand, score_new, new_skl)
         if accept:
-            # rebuild joint MSA along the new path, rows back in place
-            moves = skl_to_moves(new_skl)
-            L = len(moves)
-            new_joint = np.full((n, L), ab.GAP, np.int8)
-            rows_a = lst1 if swapped else lst0
-            rows_b = lst0 if swapped else lst1
-            ma = nb_ = 0
-            for c, mv in enumerate(moves):
-                if mv in (0, 1):
-                    new_joint[rows_a, c] = A.codes[:, ma]
-                    ma += 1
-                if mv in (0, 2):
-                    new_joint[rows_b, c] = B.codes[:, nb_]
-                    nb_ += 1
-            joint = new_joint
+            apply_candidate(cand, new_skl)
             improvements += 1
             nrep = 1
         else:

@@ -361,3 +361,80 @@ def _traceback_wave(dirs: np.ndarray, opens: np.ndarray, La: int, Lb: int,
         prev = mv
     skl.append((La, Lb))
     return skl
+
+
+def group_align_batch(pairs, mtx, u: float, v: float, sh: int,
+                      pads: tuple[int, int]):
+    """Score+traceback a batch of group pairs in one launch.
+
+    ``pairs`` = list of (A, B) prepared Msa pairs, padded to common
+    shapes via ``pads`` (member_pad, length_pad).  The speculative
+    best-of-n refinement fan-out (SURVEY P3) collapses into this batch
+    axis.  Returns list of (score, skl).
+    """
+    if not pairs:
+        return []
+    an_pad, len_pad = pads
+    an_pad = max([an_pad] + [m.many for ab_ in pairs for m in ab_])
+    la_max = lb_max = _bucket(max([len_pad] +
+                                  [m.length for ab_ in pairs for m in ab_]))
+    wdws = [stripe(A.length, B.length, sh) for A, B in pairs]
+    nslot = _bucket(max(w.up - w.lw + 3 for w in wdws), 128)
+    nsteps = _bucket(max(A.length + B.length + 1 for A, B in pairs), 256)
+
+    ins = []
+    for (A, B), w in zip(pairs, wdws):
+        ins.append(_pack_inputs(A, B, mtx, u, v, w, an_pad, la_max, lb_max))
+    batched = [jnp.stack([x[k] for x in ins]) for k in range(len(ins[0]))]
+    vm = jax.vmap(
+        lambda *args: _wavefront_group(
+            *args, nslot=nslot, nsteps=nsteps, an=an_pad, bn=an_pad,
+            la_max=la_max, lb_max=lb_max))
+    score, dirs, opens = vm(*batched)
+    out = []
+    for k, ((A, B), w) in enumerate(zip(pairs, wdws)):
+        skl = _traceback_wave(np.asarray(dirs[k]), np.asarray(opens[k]),
+                              A.length, B.length, w.lw)
+        out.append((float(score[k]), skl))
+    return out
+
+
+def _pack_inputs(A: Msa, B: Msa, mtx, u, v, wdw, an_pad, la_max, lb_max):
+    """Build the _wavefront_group argument tuple for one pair."""
+    La, Lb = A.length, B.length
+    an, bn = A.many, B.many
+    S = np.zeros((la_max, lb_max), np.float32)
+    S[:La, :Lb] = np.einsum(
+        "mc,cd,nd->mn", A.freq.astype(np.float64), mtx.astype(np.float64),
+        B.freq.astype(np.float64)).astype(np.float32)
+    na_a, gda, pga = _col_arrays(A)
+    na_b, gdb, pgb = _col_arrays(B)
+
+    def padc(x, rows, cols):
+        out = np.zeros((rows, cols), np.float32)
+        out[:x.shape[0], :x.shape[1]] = x
+        return out
+
+    na_a, gda, pga = (padc(x, la_max + 1, an_pad) for x in (na_a, gda, pga))
+    na_b, gdb, pgb = (padc(x, lb_max + 1, an_pad) for x in (na_b, gdb, pgb))
+    na_a[:, an:] = 1.0
+    pga[:, an:] = 1.0
+    na_b[:, bn:] = 1.0
+    pgb[:, bn:] = 1.0
+
+    def pad1(x, rows):
+        out = np.zeros(rows, np.float32)
+        out[:x.shape[0]] = x
+        return out
+
+    cfa = pad1(A.cfq[:La + 1], la_max + 1)
+    efa = pad1(A.efq[:La + 1], la_max + 1)
+    cfb = pad1(B.cfq[:Lb + 1], lb_max + 1)
+    efb = pad1(B.efq[:Lb + 1], lb_max + 1)
+    wa = np.zeros(an_pad, np.float32)
+    wa[:an] = A.weight if A.weight is not None else np.ones(an)
+    wb = np.zeros(an_pad, np.float32)
+    wb[:bn] = B.weight if B.weight is not None else np.ones(bn)
+    return (S, na_a, gda, pga, na_b, gdb, pgb, cfa, efa, cfb, efb, wa, wb,
+            np.int32(La), np.int32(Lb), np.int32(wdw.lw), np.int32(wdw.up),
+            np.float32(u), np.float32(-v))
