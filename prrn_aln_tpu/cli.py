@@ -148,7 +148,30 @@ def aln_main(argv=None) -> int:
     p.add_argument("-yp", type=int, default=None, help="PAM level")
     p.add_argument("-R", type=int, default=0, metavar="N",
                    help="shuffle significance test with N jumbles")
+    p.add_argument("-G", action="store_true",
+                   help="spliced alignment: first input is genomic DNA")
+    p.add_argument("-O", type=int, default=1,
+                   help="output mode (gene-structure formats with -G)")
     args = p.parse_args(argv)
+
+    if args.G:
+        from .splice.api import spliced_align
+        grecs = io.sniff_and_read(args.inputs[0])
+        qrecs = io.sniff_and_read(args.inputs[1])
+        out = []
+        for q in qrecs:
+            res = spliced_align(grecs[0].seq, q.seq,
+                                gname=grecs[0].name, qname=q.name,
+                                sh=args.w if args.w is not None else -50,
+                                u=args.u, v=args.v)
+            out.append(res.render(args.O & 7 if args.O < 16 else args.O))
+        text = "".join(out)
+        if args.o:
+            from pathlib import Path
+            Path(args.o).write_text(text)
+        else:
+            sys.stdout.write(text)
+        return 0
 
     groups = []
     for f in args.inputs:

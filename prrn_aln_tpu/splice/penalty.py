@@ -1,0 +1,110 @@
+"""Intron length penalty: Frechet-mixture log-density table.
+
+Reference: src/codepot.cc IntronPenalty::IntronPenalty / Penalty and
+the INTRONPEN defaults (codepot.cc:38).  For DNA/DNA the scale factor
+f = Vab, fY = f * fact, fy = f * y; the expected-signal offset expsig
+uses avrsig53 (codepot.cc:67) and the PWM header means (zero for the
+default tables, whose headers carry only the min field).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+SHRT_MIN = -32768.0
+
+# INTRONPEN defaults (reference codepot.cc:38-43); ip/fact resolve to
+# the DNA (dvsp=0) values via FQUERY -> defprm2[0]
+DEF_IP = 12.0
+DEF_FACT = 4.0
+DEF_MEAN = -2.767
+DEF_LLMT = 20
+DEF_RLMT = 825
+A1, M1, T1, K1 = 0.2767, -22.80, 83.35, 5.488
+M2, T2, K2 = 21.870, 223.95, 0.7882
+AVRSIG53 = (2.446, 4.807)
+
+
+def _prob_dist(i: float, mu: float, th: float, kk: float) -> float:
+    if i <= mu:
+        return 0.0
+    z = th / (i - mu)
+    zz = z ** kk
+    return kk / th * z * zz * math.exp(-zz)
+
+
+@dataclasses.dataclass
+class IntronPenalty:
+    table: np.ndarray        # Penalty(n) for n in [llmt, rlmt]
+    llmt: int
+    rlmt: int
+    mu: int
+    int_ep: float
+    int_fx: float
+    gap_wi: float
+    avr_sig: float
+    minl: int
+    mode: int
+
+    @classmethod
+    def build(cls, f: float = 1.0, y: float = 4.0, sss: float = 0.5,
+              u: float = 2.0, v: float = 6.0,
+              ip: float = DEF_IP, fact: float = DEF_FACT,
+              mean: float = DEF_MEAN, llmt: int = DEF_LLMT,
+              rlmt: int = DEF_RLMT) -> "IntronPenalty":
+        fy = f * y
+        fY = f * fact
+        # expsig: canonical-table mean + species-PWM means (zero for the
+        # default Splice5/Splice3 headers)
+        expsig = fy * (1.0 - sss) * AVRSIG53[0]
+        avr_sig = expsig
+        int_pen = expsig + fY * mean + f * ip
+        gap_wi = fY * mean - int_pen
+
+        table = np.empty(rlmt - llmt + 1, np.float64)
+        a2 = 1.0 - A1
+        gep = f * u
+        gappen = -(f * v + llmt * gep)
+        minl = 0
+        optip = SHRT_MIN
+        mode = llmt
+        for i in range(llmt, rlmt + 1):
+            z = A1 * _prob_dist(i, M1, T1, K1) \
+                + a2 * _prob_dist(i, M2, T2, K2)
+            gp = fY * math.log10(z) - int_pen if z > 0 else SHRT_MIN
+            table[i - llmt] = gp
+            if gp > optip:
+                optip = gp
+                mode = i
+            if not minl:
+                if gp > gappen:
+                    minl = i
+                else:
+                    gappen -= gep
+        if not minl:
+            minl = llmt
+
+        # tail: dominant component at rlmt sets the log-slope
+        z1 = _prob_dist(rlmt, M1, T1, K1)
+        z2 = _prob_dist(rlmt, M2, T2, K2)
+        if z2 > z1:
+            mu, kk = int(M2), K2
+        else:
+            mu, kk = int(M1), K1
+        int_ep = -(kk + 1.0) * fY / math.log(10.0)
+        int_fx = table[-1] - int_ep * math.log(rlmt - mu)
+        return cls(table, llmt, rlmt, mu, int_ep, int_fx, gap_wi,
+                   avr_sig, minl, mode)
+
+    def penalty(self, n: int) -> float:
+        """Reference IntronPenalty::Penalty(int)."""
+        if n < 0:
+            return self.gap_wi
+        if n < self.llmt:
+            return SHRT_MIN
+        if n >= self.rlmt:
+            return self.int_fx + self.int_ep * math.log(n - self.mu)
+        return float(self.table[n - self.llmt])
