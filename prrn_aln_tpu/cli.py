@@ -152,6 +152,8 @@ def aln_main(argv=None) -> int:
                    help="spliced alignment: first input is genomic DNA")
     p.add_argument("-O", type=int, default=1,
                    help="output mode (gene-structure formats with -G)")
+    p.add_argument("-M", action="store_true",
+                   help="search both strands (DNA; reference aln -M)")
     args = p.parse_args(argv)
 
     if args.G:
@@ -203,10 +205,25 @@ def aln_main(argv=None) -> int:
               f"SD = {r['sd']:7.2f}   ({r['njumble']} jumbles)")
     score, skl, swapped = align_pair(A, B, mtx, u=params.u, v=params.v,
                                      sh=params.sh)
+    strand = "+"
+    if args.M and A.molc == ab.DNA:
+        # both-strand search (reference aln.cc:336-356): also try the
+        # reverse complement of the second input, keep the better
+        from .utils.seqtools import reverse_complement
+        from .msa.msa import Msa
+        # fresh container: derived profile caches must not be reused
+        Brv = Msa(codes=np.stack(
+            [reverse_complement(B.codes[i]) for i in range(B.many)]),
+            molc=B.molc, names=list(B.names), weight=B.weight)
+        scr2, skl2, swp2 = align_pair(A, Brv, mtx, u=params.u,
+                                      v=params.v, sh=params.sh)
+        if scr2 > score:
+            score, skl, swapped, B, strand = scr2, skl2, swp2, Brv, "-"
     if swapped:
         A, B = B, A
     merged = merge_msas(A, B, skl)
-    print(f"; Score = {score:.1f}", file=sys.stderr)
+    print(f"; Score = {score:.1f}"
+          + (f" (strand {strand})" if args.M else ""), file=sys.stderr)
     _out(merged, args.F, args.o)
     return 0
 
@@ -243,6 +260,196 @@ def phyln_main(argv=None) -> int:
     print(tmod.to_newick(t, names))
     return 0
 
+
+
+def makmdm_main(argv=None) -> int:
+    """Write mutation-data (PAM) matrix tables (reference makmdm.cc).
+
+    Emits the integer score table for the requested PAM level in the
+    reference's space-separated layout, derivable for any level from
+    the bundled mdm eigendecomposition series."""
+    p = argparse.ArgumentParser(
+        prog="makmdm", description="generate mutation data matrix")
+    p.add_argument("pam", type=int, nargs="+", help="PAM level(s)")
+    p.add_argument("-d", dest="outdir", default=".")
+    args = p.parse_args(argv)
+    import dataclasses
+    from pathlib import Path
+    for pam in args.pam:
+        prm = dataclasses.replace(default_params(ab.PROTEIN, "aln"),
+                                  pam=pam)
+        mtx, meta = scoring.protein_matrix(prm)
+        dim = mtx.shape[0]
+        lines = [f"# mdm{pam} nrmlf={meta['nrmlf']:g} avtrc={meta['avtrc']:g}"]
+        for i in range(dim):
+            lines.append(" ".join(f"{mtx[i, j]:7.2f}"
+                                  for j in range(dim)))
+        out = Path(args.outdir) / f"mdm{pam}"
+        out.write_text("\n".join(lines) + "\n")
+        print(f"wrote {out}")
+    return 0
+
+
+def makdbs_main(argv=None) -> int:
+    """Build a formatted sequence database (reference makdbs.cc; here
+    the native SeqDB .psq/.pix/.pnm layout from native/seqlib.cpp)."""
+    p = argparse.ArgumentParser(
+        prog="makdbs", description="build formatted sequence DB")
+    p.add_argument("input")
+    p.add_argument("-b", dest="base", default=None,
+                   help="output base path (default: input stem)")
+    args = p.parse_args(argv)
+    from pathlib import Path
+    from . import native
+    recs = io.sniff_and_read(args.input)
+    molc = ab.infer_molc(recs[0].seq)
+    base = args.base or str(Path(args.input).with_suffix(""))
+    seqs = [ab.encode(r.seq, molc) for r in recs]
+    names = [r.name for r in recs]
+    native.SeqDB.build(base, seqs, names)
+    print(f"{len(seqs)} entries -> {base}.psq/.pix/.pnm")
+    return 0
+
+
+def decomp_main(argv=None) -> int:
+    """Split a bundled flat DB file into per-entry files (reference
+    decomp.cc): filename = last '|'-separated field of the id token,
+    restricted to [alnum._]; optional date filter for GenBank entries."""
+    import re
+    from pathlib import Path
+
+    p = argparse.ArgumentParser(
+        prog="decomp", description="decompose a flat DB file")
+    p.add_argument("input", nargs="?", default="-")
+    p.add_argument("-p", dest="path", default=".", help="output path")
+    p.add_argument("-n", dest="date", default=None,
+                   help='keep entries dated on/after "Day-MON-Year"')
+    p.add_argument("-f", dest="field", type=int, default=0,
+                   help="id field number (whitespace separated)")
+    p.add_argument("-q", action="store_true", help="quiet")
+    args = p.parse_args(argv)
+
+    text = (sys.stdin.read() if args.input == "-"
+            else Path(args.input).read_text())
+    lines = text.splitlines(keepends=True)
+    given = None
+    if args.date:
+        import datetime
+        given = datetime.datetime.strptime(args.date, "%d-%b-%Y")
+
+    def emit(entry_lines, idline):
+        toks = idline.split()
+        if args.field < len(toks):
+            tok = toks[args.field]
+        else:
+            return
+        parts = tok.split("|")
+        name = re.sub(r"[^A-Za-z0-9._]", "", parts[-1] or
+                      (parts[-2] if len(parts) > 1 else tok))
+        if not name:
+            return
+        out = Path(args.path) / name
+        out.write_text("".join(entry_lines))
+        if not args.q:
+            print(f"{name}: {idline}")
+
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if line.startswith(">"):                 # FASTA entry
+            j = i + 1
+            while j < len(lines) and not lines[j].startswith(">"):
+                j += 1
+            emit(lines[i:j], line[1:].rstrip("\n"))
+            i = j
+        elif line.startswith(("LOCUS", "ID")):   # GenBank / EMBL
+            j = i + 1
+            while j < len(lines) and not lines[j].startswith("//"):
+                j += 1
+            if j < len(lines):
+                j += 1
+            keep = True
+            if given is not None and line.startswith("LOCUS"):
+                import datetime
+                try:
+                    d = datetime.datetime.strptime(
+                        line[62:].split()[0], "%d-%b-%Y")
+                    keep = d >= given
+                except (ValueError, IndexError):
+                    keep = False
+            if keep:
+                emit(lines[i:j], line.split(None, 1)[1].rstrip("\n")
+                     if len(line.split()) > 1 else "")
+            i = j
+        else:
+            i += 1
+    return 0
+
+
+def iden_main(argv=None) -> int:
+    """Detect differences between two closely related sequences
+    (reference iden.cc: banded min-cost alignment, u=v=1, sh=2; prints
+    only the 60-column blocks containing a difference)."""
+    p = argparse.ArgumentParser(
+        prog="iden", description="differences between similar sequences")
+    p.add_argument("inputs", nargs=2)
+    p.add_argument("-u", type=float, default=1.0)
+    p.add_argument("-v", type=float, default=1.0)
+    p.add_argument("-w", type=int, default=2, help="band shoulder")
+    p.add_argument("-t", type=float, default=1.0,
+                   help="distance threshold %% (alprm.thr)")
+    p.add_argument("-O", type=int, default=1,
+                   help="0: score only; 1: difference blocks")
+    args = p.parse_args(argv)
+
+    from .ops.iden_np import iden_align, path_stats, alignment_columns
+    recs = [io.sniff_and_read(f)[0] for f in args.inputs]
+    molc = ab.infer_molc(recs[0].seq)
+    sa = recs[0].seq.upper()
+    sb = recs[1].seq.upper()
+    ca = ab.encode(sa, molc)
+    cb = ab.encode(sb, molc)
+    cut = int((len(ca) + len(cb)) * args.t / 100)
+    if args.O == 0:
+        dist, _ = iden_align(ca, cb, u=args.u, v=args.v, sh=args.w)
+        if dist < cut:
+            print(f"{recs[0].name:<12} {recs[1].name:<12} {int(dist):3d}")
+        return 0
+    dist, skl = iden_align(ca, cb, u=args.u, v=args.v, sh=args.w)
+    mch, mmc, runs, unp = path_stats(ca, cb, skl)
+    span = mch + mmc + unp
+    if not span:
+        return 0
+    rowa, rowb = alignment_columns(sa, sb, skl)
+    out = ["", f">{recs[0].name} [1:{len(sa)}]  ( 1 - {len(sa)} ) - "
+               f">{recs[1].name} [1:{len(sb)}]  ( 1 - {len(sb)} )"]
+    pct = 100.0 * mch / span
+    out.append("Dist = %4d, Cons = %3d, Repl = %3d,  Gaps = %2d, "
+               "Unpairs = %3d, (%6.2f %%)" % (int(dist), mch, mmc,
+                                              runs, unp, pct))
+    lpw = 60
+    na = nb = 0
+    for z in range(0, len(rowa), lpw):
+        sega = rowa[z: z + lpw]
+        segb = rowb[z: z + lpw]
+        ra = sum(1 for c in sega if c != "-")
+        rb = sum(1 for c in segb if c != "-")
+        if any(x != y for x, y in zip(sega, segb)):
+            out.append("")
+            for seg, n0, n1 in ((sega, na, na + ra), (segb, nb, nb + rb)):
+                if n1 > n0:
+                    out.append("%8d  %s%6d" % (n0 + 1, seg.ljust(lpw), n1))
+                else:
+                    out.append(" " * 10 + seg.ljust(lpw))
+                if seg is sega:
+                    ind = "".join("*" if x != y else " "
+                                  for x, y in zip(sega.ljust(lpw),
+                                                  segb.ljust(lpw)))
+                    out.append(" " * 10 + ind)
+        na += ra
+        nb += rb
+    sys.stdout.write("\n".join(out) + "\n\n")
+    return 0
 
 
 def rdn_main(argv=None) -> int:
