@@ -154,7 +154,31 @@ def aln_main(argv=None) -> int:
                    help="output mode (gene-structure formats with -G)")
     p.add_argument("-M", action="store_true",
                    help="search both strands (DNA; reference aln -M)")
+    p.add_argument("-L", nargs="?", const="s", default=None,
+                   help="local alignment mode ('s' = SWG colonies)")
+    p.add_argument("-C", dest="ncolony", type=int, default=1,
+                   help="with -Ls: max local alignments (reference -M#)")
     args = p.parse_args(argv)
+
+    if args.L == "s":
+        from .msa.local import swg_align, local_alignment_text
+        ra = io.sniff_and_read(args.inputs[0])[0]
+        rb = io.sniff_and_read(args.inputs[1])[0]
+        molc = ab.infer_molc(ra.seq)
+        prm = default_params(molc, "aln")
+        mtx, _ = scoring.build_matrix(molc, prm)
+        sa, sb = ra.seq.upper(), rb.seq.upper()
+        res = swg_align(ab.encode(sa, molc), ab.encode(sb, molc), mtx,
+                        u=args.u or prm.u, v=args.v or prm.v,
+                        sh=args.w if args.w is not None else -50,
+                        mlt=1 if args.ncolony <= 1 else 2)
+        text = "".join(
+            local_alignment_text(sa, sb, (ra.name, rb.name), scr, skl,
+                                 molc=molc, u=args.u or prm.u,
+                                 v=args.v or prm.v)
+            for _, scr, skl in res[: max(1, args.ncolony)])
+        sys.stdout.write(text)
+        return 0
 
     if args.G:
         from .splice.api import spliced_align

@@ -93,3 +93,35 @@ def test_aln_both_strands(tmp_path):
     assert rc == 0
     assert "strand -" in err
     assert "240.0" in err
+
+
+def test_aln_local_colonies_byte_exact():
+    from prrn_aln_tpu.cli import aln_main
+    rc, out, _ = _capture(aln_main, ["-Ls", str(FIX / "loc_a.fa"),
+                                     str(FIX / "loc_b.fa")])
+    assert rc == 0
+    assert out == (FIX / "loc_single.txt").read_text()
+    rc, out, _ = _capture(aln_main, ["-Ls", "-C", "4", "-w", "300",
+                                     str(FIX / "loc_a.fa"),
+                                     str(FIX / "loc_b.fa")])
+    assert rc == 0
+    assert out == (FIX / "loc_multi.txt").read_text()
+
+
+def test_swg_colonies_vs_oracle():
+    import json
+    from prrn_aln_tpu import alphabet as ab, scoring
+    from prrn_aln_tpu.config import default_params
+    from prrn_aln_tpu.ops.local_np import swg_colonies
+    A = "".join(l.strip() for l in (FIX / "loc_a.fa").read_text()
+                .splitlines() if not l.startswith(">"))
+    B = "".join(l.strip() for l in (FIX / "loc_b.fa").read_text()
+                .splitlines() if not l.startswith(">"))
+    ca, cb = ab.encode(A, ab.DNA), ab.encode(B, ab.DNA)
+    mtx, _ = scoring.dna_matrix(default_params(ab.DNA, "aln"))
+    for mlt, sh, fn in ((1, -50, "swg1.json"), (2, 300, "swg2.json")):
+        ref = json.loads((FIX / fn).read_text())["colonies"]
+        mine = swg_colonies(ca, cb, mtx, mlt=mlt, sh=sh)
+        assert [(c.val, c.mlb, c.mrb, c.nlb, c.nrb) for c in mine] == \
+            [(r["val"], r["mlb"], r["mrb"], r["nlb"], r["nrb"])
+             for r in ref]
