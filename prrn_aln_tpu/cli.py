@@ -21,13 +21,13 @@ from .msa.merge import merge_msas
 from .pipeline import build_msa
 
 
-def _out(msa, fmt: str, path=None):
+def _out(msa, fmt: str, path=None, markeij: int = 0):
     if fmt == "fasta":
         text = io.write_fasta(msa)
     elif fmt == "clustal":
         text = io.write_clustal(msa)
     else:
-        text = io.write_native_block(msa)
+        text = io.write_native_block(msa, markeij=markeij)
     if path:
         from pathlib import Path
         Path(path).write_text(text)
@@ -38,7 +38,7 @@ def _out(msa, fmt: str, path=None):
 def _emit(msa, args):
     """prrn output modes (Msa::output, prrn5.cc:1738-1806)."""
     if args.O & 1:
-        _out(msa, args.F, args.o)
+        _out(msa, args.F, args.o, markeij=getattr(args, "pi", 0) and 1)
     need_tree = args.O & (2 | 4)
     if need_tree and msa.many > 2:
         from .msa import distance as dmod, tree as tmod, wsp
@@ -86,6 +86,10 @@ def prrn_main(argv=None) -> int:
                    help="output bits: 1=alignment, 2=outliers, 4=SP scores")
     p.add_argument("-YH", type=float, default=35.0,
                    help="consreg threshold (0 disables)")
+    p.add_argument("-pi", action="store_true", dest="pi",
+                   help="color intron positions (ANSI escapes)")
+    p.add_argument("-yJ", type=float, default=None,
+                   help="intron-position match bonus (default 20)")
     args = p.parse_args(argv)
 
     if args.b:
@@ -111,6 +115,8 @@ def prrn_main(argv=None) -> int:
         over["sh"] = args.w
     if args.yp is not None:
         over["pam"] = args.yp
+    if args.yJ is not None:
+        over["spb"] = args.yJ
     if over:
         import dataclasses
         params = dataclasses.replace(params, **over)
@@ -158,6 +164,8 @@ def aln_main(argv=None) -> int:
                    help="local alignment mode ('s' = SWG colonies)")
     p.add_argument("-C", dest="ncolony", type=int, default=1,
                    help="with -Ls: max local alignments (reference -M#)")
+    p.add_argument("-yJ", type=float, default=None,
+                   help="intron-position match bonus (default 20)")
     args = p.parse_args(argv)
 
     if args.L == "s":
@@ -215,6 +223,8 @@ def aln_main(argv=None) -> int:
         over["sh"] = args.w
     if args.yp is not None:
         over["pam"] = args.yp
+    if args.yJ is not None:
+        over["spb"] = args.yJ
     if over:
         import dataclasses
         params = dataclasses.replace(params, **over)

@@ -46,6 +46,10 @@ class AlnParams:
     # bit2/3 = b left/right free, bit4 = SWG local
     lcl: int = 0
 
+    # intron-position match bonus -yJ (reference alprm2.spb, default 20
+    # simmtx.cc:48; SpbFact = scale*spb, gsinfo.cc:35)
+    spb: float = 20.0
+
     def scaled_u(self) -> float:
         return self.u * self.scale
 

@@ -26,6 +26,7 @@ class SeqRecord:
     seq: str                      # residue characters, may contain gaps
     comments: list[str] = dataclasses.field(default_factory=list)
     exons: list[tuple[int, int]] | None = None   # from ;C annotations
+    eij: "np.ndarray | None" = None  # member-local tron junctions (;B)
 
 
 _COORD_RE = re.compile(r"(\d+)\.\.(\d+)")
@@ -33,11 +34,15 @@ _COORD_RE = re.compile(r"(\d+)\.\.(\d+)")
 
 def _parse_exons(comments: list[str]) -> list[tuple[int, int]] | None:
     """Parse ``;C`` extended-FASTA exon coordinates (reference seq.h:594,
-    README.md:30-79): join(...) / complement(join(...)) ranges."""
+    README.md:30-79): join(...) / complement(join(...)) ranges, returned
+    in transcription order (reversed for complement; seq.h:682-683)."""
     text = " ".join(c[2:].strip() for c in comments if c.startswith(";C"))
     if not text:
         return None
-    return [(int(a), int(b)) for a, b in _COORD_RE.findall(text)]
+    exons = [(int(a), int(b)) for a, b in _COORD_RE.findall(text)]
+    if "complement" in text and len(exons) > 1 and exons[0][0] < exons[-1][0]:
+        exons.reverse()
+    return exons
 
 
 def read_fasta(path: str | Path) -> list[SeqRecord]:
@@ -62,24 +67,64 @@ def read_fasta(path: str | Path) -> list[SeqRecord]:
 
 def read_native(path: str | Path) -> list[SeqRecord]:
     """Native interleaved/serial MSA: header ``many len name`` then
-    ``>name`` entries terminated by ``/`` lines."""
+    ``>name`` entries terminated by ``/`` lines.  ``;b/;m`` intron-
+    position blocks (put_SigII output) are converted back to per-member
+    local junction coordinates."""
     lines = Path(path).read_text().splitlines()
     recs: list[SeqRecord] = []
     name, buf = None, []
+    bpairs: list[tuple[int, int]] = []    # (pos, num) from ;b
+    mlist: list[int] = []                 # 1-based members from ;m
+    inter: dict[str, list[str]] = {}      # interleaved-block rows
+    inter_order: list[str] = []
+    blk = re.compile(r"\s*\d+ (.*)\| (\S+)\s*$")
     for raw in lines[1:]:
-        if raw.startswith(">"):
+        bm = blk.match(raw)
+        if bm:
+            body, nm = bm.group(1), bm.group(2)
+            if nm not in inter:
+                inter[nm] = []
+                inter_order.append(nm)
+            inter[nm].append(re.sub(r"[\s\d]", "", body))
+        elif raw.startswith(">"):
             if name is not None:
                 recs.append(SeqRecord(name, "".join(buf)))
             name = raw[1:].split()[0] if len(raw) > 1 else "seq"
             buf = []
         elif raw.strip() == "/":
             continue
+        elif raw.startswith(";b"):
+            toks = raw[2:].replace(",", " ").split()
+            bpairs += [(int(toks[k]), int(toks[k + 1]))
+                       for k in range(0, len(toks) - 1, 2)]
+        elif raw.startswith(";m"):
+            mlist += [int(t) for t in raw[2:].split()]
         elif raw.startswith((";", "#")) or not raw.strip():
             continue
         elif name is not None:
             buf.append(re.sub(r"[\s\d]", "", raw))
-    if name is not None:
+    if inter:
+        recs = [SeqRecord(nm, "".join(inter[nm])) for nm in inter_order]
+    elif name is not None:
         recs.append(SeqRecord(name, "".join(buf)))
+    if bpairs and recs:
+        step = 3 if ab.infer_molc(recs[0].seq) == ab.PROTEIN else 1
+        per: dict[int, list[int]] = {}
+        k = 0
+        for pos, num in bpairs:
+            mems = (mlist[k:k + num] if mlist
+                    else [1] * 0)             # ;m absent: skip
+            k += num
+            for m in mems:
+                # invert the alignment projection: local pos =
+                # step*(residues before column pos//step) + phase
+                row = recs[m - 1].seq
+                col = pos // step if step == 3 else pos
+                nres = sum(1 for c in row[:col] if c not in "- ")
+                per.setdefault(m - 1, []).append(
+                    step * nres + (pos % step if step == 3 else 0))
+        for m, plist in per.items():
+            recs[m].eij = np.asarray(sorted(plist), np.int64)
     return recs
 
 
@@ -109,7 +154,14 @@ def records_to_msa(recs: list[SeqRecord], molc: int | None = None) -> Msa:
     L = max(len(r) for r in rows)
     rows = [r.ljust(L, "-") for r in rows]
     codes = np.stack([ab.encode(r, molc) for r in rows])
-    return Msa(codes=codes, molc=molc, names=[r.name for r in recs])
+    eij = None
+    if any(r.exons for r in recs) or any(r.eij is not None for r in recs):
+        from .msa.sigii import eij_from_exons
+        step = 3 if molc == ab.PROTEIN else 1
+        eij = [r.eij if r.eij is not None else eij_from_exons(r.exons, step)
+               for r in recs]
+    return Msa(codes=codes, molc=molc, names=[r.name for r in recs],
+               eij=eij)
 
 
 # ---------------------------------------------------------------------------
@@ -145,18 +197,83 @@ def write_clustal(msa: Msa, path=None) -> str:
     return text
 
 
-def write_native_block(msa: Msa, path=None, width: int = 60) -> str:
+def _sigii_lines(msa: Msa, width: int = 60) -> list[str]:
+    """``;B/;b/;m`` intron-position block (sqpr.cc:2315-2351 put_SigII):
+    merged junction positions in alignment tron coordinates with member
+    counts, then 1-based member indices, wrapped at width-4 columns."""
+    from .msa.sigii import merged_pfq
+    pfq = merged_pfq(msa.codes, msa.eij, msa.weight, msa.step)
+    if not pfq:
+        return [";B 0 0"]
+    lstnum = sum(len(mems) for _, mems, _ in pfq)
+    out = [f";B {len(pfq)} {lstnum}"]
+    lwd = width - 4 if width >= 10 else 56
+
+    def wrap(tag, items, last):
+        lines, buf = [], ""
+        for it in items:
+            buf += it
+            if len(buf) > lwd:
+                lines.append(tag + buf)
+                buf = ""
+        lines.append(tag + buf + last)
+        return lines
+
+    out += wrap(";b", [f" {p} {len(m)}," for p, m, _ in pfq[:-1]],
+                f" {pfq[-1][0]} {len(pfq[-1][1])}")
+    mems = [m + 1 for _, ms, _ in pfq for m in ms]
+    out += wrap(";m", [f" {m}" for m in mems[:-1]], f" {mems[-1]}")
+    return out
+
+
+def _eij_marks(msa: Msa) -> dict[tuple[int, int], int]:
+    """(member, column) -> ANSI background color for -pi intron marking
+    (sqpr.cc:2133-2142 markiis: column pos//step, color by phase)."""
+    from .msa.sigii import merged_pfq
+    marks = {}
+    for pos, mems, _ in merged_pfq(msa.codes, msa.eij, None, msa.step):
+        if msa.step == 3:
+            col, ccd = pos // 3, pos % 3 + 1
+        else:
+            col, ccd = pos, (pos - 1) % 3 + 1
+        # iis_color: 1=red 2=green 3=blue (sqpr.cc:1917)
+        bg = {1: 41, 2: 42, 3: 44}[ccd]
+        for m in mems:
+            marks[(m, col)] = bg
+    return marks
+
+
+def write_native_block(msa: Msa, path=None, width: int = 60,
+                       markeij: int = 0) -> str:
     """Reference-style block output: header, then 60-column blocks with
     1-based residue start positions and '| name' trailers
-    (sqpr.cc native print mode)."""
+    (sqpr.cc native print mode).  ``markeij=1`` colors intron-position
+    residues with ANSI escapes instead of emitting the ;B block (the
+    reference's -pi mode)."""
     rows = [decode_row(msa, i) for i in range(msa.many)]
     pos = [1] * msa.many
     first = msa.names[0] if msa.names else "msa"
-    out = [f">{first} [{msa.many}:{msa.length}]  ( 1 - {msa.length} )", ""]
+    marks = (_eij_marks(msa) if markeij and msa.eij is not None else {})
+    if markeij:
+        out = [f">{first}", ""]
+    else:
+        out = [f">{first} [{msa.many}:{msa.length}]  ( 1 - {msa.length} )"]
+        if msa.eij is not None:
+            out += _sigii_lines(msa, width)
+        out.append("")
     for start in range(0, msa.length, width):
         for i, row in enumerate(rows):
             seg = row[start:start + width]
-            out.append(f"{pos[i]:8d} {seg.ljust(width)}| {msa.names[i]}")
+            disp = seg.ljust(width)
+            if marks:
+                chars = list(disp)
+                for c in range(start, min(start + width, msa.length)):
+                    bg = marks.get((i, c))
+                    if bg is not None:
+                        k = c - start
+                        chars[k] = f"\x1b[37;{bg};1m{chars[k]}\x1b[0m"
+                disp = "".join(chars)
+            out.append(f"{pos[i]:8d} {disp}| {msa.names[i]}")
             pos[i] += sum(1 for c in seg if c not in "- ")
         out.append("")
     text = "\n".join(out) + "\n"

@@ -35,5 +35,8 @@ def merge_msas(A: Msa, B: Msa, skl) -> Msa:
     weight = None
     if A.weight is not None and B.weight is not None:
         weight = np.concatenate([A.weight, B.weight])
+    eij = None
+    if A.eij is not None or B.eij is not None:
+        eij = list(A.eij or [None] * A.many) + list(B.eij or [None] * B.many)
     return Msa(codes=out, molc=A.molc, names=names, weight=weight,
-               tgapf=A.tgapf)
+               tgapf=A.tgapf, eij=eij)

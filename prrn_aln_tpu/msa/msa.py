@@ -37,6 +37,9 @@ class Msa:
     exgl: bool = False
     exgr: bool = False
     tgapf: float = 1.0
+    # per-member intron junction positions in ungapped member-local tron
+    # coordinates (msa/sigii.py; reference SigII gsinfo.h:41-99)
+    eij: list | None = None
 
     # derived, built by prepare()
     eff_codes: np.ndarray | None = None
@@ -46,10 +49,15 @@ class Msa:
     gdens: np.ndarray | None = None   # (len, many) gapdensity
     pgdens: np.ndarray | None = None  # (len, many) postgapdensity
     freq: np.ndarray | None = None    # (len, dim)
+    eijdns: np.ndarray | None = None  # (len+1, 3) junction phase density
 
     @property
     def many(self) -> int:
         return self.codes.shape[0]
+
+    @property
+    def step(self) -> int:
+        return 3 if self.molc == ab.PROTEIN else 1
 
     @property
     def length(self) -> int:
@@ -143,6 +151,12 @@ class Msa:
         for i in range(many):
             np.add.at(fr, (np.arange(L), eff[i].astype(np.int64)), w[i])
         self.freq = fr
+
+        # --- intron junction densities (SigII dns) ----------------------
+        if self.eij is not None:
+            from . import sigii
+            self.eijdns = sigii.eij_density(self.codes, self.eij,
+                                            self.weight, self.step)
         return self
 
 
@@ -153,6 +167,7 @@ def msa_from_strings(rows: list[str], molc: int,
                [f"seq{i}" for i in range(len(rows))])
 
 
-def single(seq_codes: np.ndarray, molc: int, name: str = "seq") -> Msa:
+def single(seq_codes: np.ndarray, molc: int, name: str = "seq",
+           eij=None) -> Msa:
     return Msa(codes=seq_codes[None, :].astype(np.int8), molc=molc,
-               names=[name])
+               names=[name], eij=None if eij is None else [eij])

@@ -59,7 +59,7 @@ def select_swap(A: Msa, B: Msa) -> bool:
 
 
 def align_pair(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
-               sh: int, tgapf: float = 1.0, pads=None):
+               sh: int, tgapf: float = 1.0, pads=None, spb: float = 20.0):
     """Align two prepared groups; returns (score, skl, swapped)."""
     swapped = select_swap(A, B)
     if swapped:
@@ -70,14 +70,16 @@ def align_pair(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
         B.prepare(mtx.shape[0])
     wdw = stripe(A.length, B.length, sh)
     if pads is not None:
-        score, skl = group_align(A, B, mtx, u=u, v=v, wdw=wdw, pads=pads)
+        score, skl = group_align(A, B, mtx, u=u, v=v, wdw=wdw, pads=pads,
+                                 spb=spb)
     else:
-        score, skl = group_align_np(A, B, mtx, u=u, v=v, wdw=wdw)
+        score, skl = group_align_np(A, B, mtx, u=u, v=v, wdw=wdw, spb=spb)
     return score, skl, swapped
 
 
 def progressive_msa(seqs: list[Msa], tree: Tree, mtx: np.ndarray,
-                    u: float, v: float, sh: int, pads=None) -> Msa:
+                    u: float, v: float, sh: int, pads=None,
+                    spb: float = 20.0) -> Msa:
     """Post-order progressive alignment; ``seqs[i]`` is the leaf group for
     tree leaf i."""
     if pads is None:
@@ -94,7 +96,8 @@ def progressive_msa(seqs: list[Msa], tree: Tree, mtx: np.ndarray,
         else:
             A = built.pop(tree.left[node])
             B = built.pop(tree.right[node])
-            _, skl, swapped = align_pair(A, B, mtx, u, v, sh, pads=pads)
+            _, skl, swapped = align_pair(A, B, mtx, u, v, sh, pads=pads,
+                                         spb=spb)
             if swapped:
                 A, B = B, A
             merged = merge_msas(A, B, skl)

@@ -91,14 +91,15 @@ def _tree_partitions(tree: Tree) -> list[list[int]]:
 
 
 def _side_msa(joint: np.ndarray, rows: list[int], weights: np.ndarray,
-              names: list[str], molc: int, tgapf: float):
+              names: list[str], molc: int, tgapf: float, eij=None):
     """Extract side rows, drop the side's all-gap columns; returns the
     side Msa plus the joint-column occupancy mask."""
     sub = joint[rows]
     keep = (sub > ab.GAP).any(axis=0)
     m = Msa(codes=sub[:, keep].copy(), molc=molc,
             names=[names[r] for r in rows],
-            weight=weights.copy(), tgapf=tgapf)
+            weight=weights.copy(), tgapf=tgapf,
+            eij=None if eij is None else [eij[r] for r in rows])
     return m, keep
 
 
@@ -149,7 +150,7 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
                crand: GlibcRand | None = None,
                accept_ties: bool = True,
                tree_data=None, col_range=None,
-               nbatch: int = 1) -> RefineResult:
+               nbatch: int = 1, spb: float = 20.0) -> RefineResult:
     """One Prrn pass over a flat MSA (every sequence its own group).
 
     ``tree_data`` = (tree, vol, cur, leaf_vol) reuses a precomputed guide
@@ -169,14 +170,18 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
         pairwt, leaf_vol, vol, cur = calc_pair_weights(t, full=True)
     else:
         t, vol, cur, leaf_vol = tree_data
+    full_eij = msa.eij
     msa = Msa(codes=msa.codes.copy(), molc=msa.molc, names=list(msa.names),
-              weight=leaf_vol, tgapf=msa.tgapf)
+              weight=leaf_vol, tgapf=msa.tgapf, eij=full_eij)
 
     full_codes = msa.codes
     if col_range is not None:
         lo, hi = col_range
+        from .sigii import slice_eij
         msa = Msa(codes=full_codes[:, lo:hi].copy(), molc=msa.molc,
-                  names=msa.names, weight=leaf_vol, tgapf=msa.tgapf)
+                  names=msa.names, weight=leaf_vol, tgapf=msa.tgapf,
+                  eij=slice_eij(full_codes, full_eij, lo, hi, msa.step)
+                  if full_eij is not None else None)
 
     parts = _tree_partitions(t)
     cycle = 2 * n - 3
@@ -198,8 +203,10 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
         pwt = cand["pwt"]
         wf0 = cand["A"].weight if not cand["swapped"] else cand["B"].weight
         wf1 = cand["B"].weight if not cand["swapped"] else cand["A"].weight
-        S0, keep0 = _side_msa(joint, lst0, wf0, names, msa.molc, msa.tgapf)
-        S1, keep1 = _side_msa(joint, lst1, wf1, names, msa.molc, msa.tgapf)
+        S0, keep0 = _side_msa(joint, lst0, wf0, names, msa.molc, msa.tgapf,
+                              msa.eij)
+        S1, keep1 = _side_msa(joint, lst1, wf1, names, msa.molc, msa.tgapf,
+                              msa.eij)
         if not ((~keep0).any() or (~keep1).any()):
             return None
         swapped = select_swap(S0, S1)
@@ -224,9 +231,9 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
         if len(lst0) < len(lst1):
             lst0, lst1 = lst1, lst0
         S0, keep0 = _side_msa(joint, lst0, wfact[lst0], names, msa.molc,
-                              msa.tgapf)
+                              msa.tgapf, msa.eij)
         S1, keep1 = _side_msa(joint, lst1, wfact[lst1], names, msa.molc,
-                              msa.tgapf)
+                              msa.tgapf, msa.eij)
         if not ((~keep0).any() or (~keep1).any()):
             return None
         swapped = select_swap(S0, S1)
@@ -301,7 +308,7 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
             from ..ops.group import group_align_batch
             results = group_align_batch(
                 [(c["A"], c["B"]) for c in cands], mtx, u=u, v=v, sh=sh,
-                pads=pads)
+                pads=pads, spb=spb)
             scored = []
             for c, (s_new, skl_new) in zip(cands, results):
                 acc, delta = evaluate(c, s_new, skl_new)
@@ -323,7 +330,7 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
                         continue
                     wdw = stripe(c2["A"].length, c2["B"].length, sh)
                     s2, skl2 = group_align(c2["A"], c2["B"], mtx, u=u, v=v,
-                                           wdw=wdw, pads=pads)
+                                           wdw=wdw, pads=pads, spb=spb)
                     acc2, _ = evaluate(c2, s2, skl2)
                     if acc2:
                         apply_candidate(c2, skl2)
@@ -349,7 +356,7 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
         A, B = cand["A"], cand["B"]
         wdw = stripe(A.length, B.length, sh)
         score_new, new_skl = group_align(A, B, mtx, u=u, v=v, wdw=wdw,
-                                         pads=pads)
+                                         pads=pads, spb=spb)
         accept, delta = evaluate(cand, score_new, new_skl)
         if accept:
             apply_candidate(cand, new_skl)
@@ -368,13 +375,14 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
         joint = np.concatenate(
             [full_codes[:, :lo], joint, full_codes[:, hi:]], axis=1)
     out = Msa(codes=joint, molc=msa.molc, names=names, weight=leaf_vol,
-              tgapf=msa.tgapf)
+              tgapf=msa.tgapf, eij=full_eij)
     return RefineResult(out, None, improvements, i)
 
 
 def refine_with_consreg(msa: Msa, mtx: np.ndarray, u: float, v: float,
                         sh: int, maxitr: int = 10, randseed: int = 1,
-                        crand: GlibcRand | None = None) -> RefineResult:
+                        crand: GlibcRand | None = None,
+                        spb: float = 20.0) -> RefineResult:
     """preprrn with conserved-region segmentation (prrn5.cc:786-839):
     one global tree/weighting, then per-attack-range Prrn passes, walked
     from the last range to the first so indices stay valid."""
@@ -389,7 +397,7 @@ def refine_with_consreg(msa: Msa, mtx: np.ndarray, u: float, v: float,
     t = upgma(d, n)
     pairwt, leaf_vol, vol, cur = calc_pair_weights(t, full=True)
     work = Msa(codes=msa.codes.copy(), molc=msa.molc, names=list(msa.names),
-               weight=leaf_vol, tgapf=msa.tgapf)
+               weight=leaf_vol, tgapf=msa.tgapf, eij=msa.eij)
     ranges = attack_ranges(work, t, mtx)
     improvements = iterations = 0
     for lo, hi in reversed(ranges):
@@ -398,7 +406,7 @@ def refine_with_consreg(msa: Msa, mtx: np.ndarray, u: float, v: float,
         res = refine_msa(work, mtx, u=u, v=v, sh=sh, maxitr=maxitr,
                          randseed=randseed, crand=crand,
                          tree_data=(t, vol, cur, leaf_vol),
-                         col_range=(lo, hi))
+                         col_range=(lo, hi), spb=spb)
         work = res.msa
         improvements += res.improvements
         iterations += res.iterations

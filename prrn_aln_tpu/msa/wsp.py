@@ -37,7 +37,8 @@ def pair_score(mtx: np.ndarray, row_a: np.ndarray, row_b: np.ndarray,
 
 
 def wsp_score(msa: Msa, mtx: np.ndarray, v: float,
-              pairwt: np.ndarray | None = None) -> float:
+              pairwt: np.ndarray | None = None,
+              spb: float = 0.0) -> float:
     n = msa.many
     total = 0.0
     for j in range(1, n):
@@ -45,4 +46,8 @@ def wsp_score(msa: Msa, mtx: np.ndarray, v: float,
             w = (pairwt[condensed_index(i, j)]
                  if pairwt is not None else 1.0)
             total += w * pair_score(mtx, msa.codes[i], msa.codes[j], v)
+    if spb > 0 and msa.eij is not None:
+        # intron-position bonus (gsinfo.cc:1147-1183 spSigII)
+        from .sigii import sp_sigii
+        total += sp_sigii(msa.codes, msa.eij, pairwt, spb, msa.step)
     return total

@@ -40,7 +40,10 @@ def _bucket(x: int, q: int = 64) -> int:
     jax.jit, static_argnames=("nslot", "nsteps", "an", "bn", "la_max",
                               "lb_max"))
 def _wavefront_group(
-    S,            # (la_max, lb_max) column score table
+    S,            # (la_max, lb_max) column score table (incl. full-phase
+                  # intron diag bonus, folded in by the packers)
+    B0,           # (la_max, lb_max) phase-0 intron bonus to the winning
+                  # gap lane (fwd2c.h:306-312 mx->val += match_score)
     na_a, gda, pga,   # (la_max+1, an) column arrays of A (0 = boundary)
     na_b, gdb, pgb,   # (lb_max+1, bn)
     cfa, efa,     # (la_max+1,)
@@ -119,6 +122,10 @@ def _wavefront_group(
         b_gap_col = bgap[nc]
         s_cell = S[jnp.clip(m_vec - 1, 0, la_max - 1),
                    jnp.clip(n_vec - 1, 0, lb_max - 1)]
+        b0_cell = jnp.where(
+            (m_vec >= 1) & (n_vec >= 1),
+            B0[jnp.clip(m_vec - 1, 0, la_max - 1),
+               jnp.clip(n_vec - 1, 0, lb_max - 1)], 0.0)
         pua = cfa[mc] * efb[nc] * (-u)
         pub = cfb[nc] * efa[mc] * (-u)
 
@@ -168,6 +175,10 @@ def _wavefront_group(
 
         # ---- select ----------------------------------------------------
         mx_is_f = fv >= gv
+        # phase-0 intron bonus lands on the winning gap lane and persists
+        # in its stored value (the reference mutates through mx)
+        gv = gv + jnp.where(mx_is_f, 0.0, b0_cell)
+        fv = fv + jnp.where(mx_is_f, b0_cell, 0.0)
         mx_val = jnp.maximum(gv, fv)
         nondiag = mx_val > d_val
         h_val = jnp.where(nondiag, mx_val, d_val)
@@ -229,9 +240,25 @@ def _wavefront_group(
     return score, dirs, opens
 
 
+def _bonus_images(A: Msa, B: Msa, la_max: int, lb_max: int, spb: float,
+                  scale: float = 1.0):
+    """Intron-position bonus images (fwd2c.h:306-312): BD (all phases,
+    folded into the diagonal score image) and B0 (phase 0, applied to the
+    winning gap lane)."""
+    B0 = np.zeros((la_max, lb_max), np.float32)
+    BD = None
+    if spb > 0 and A.eijdns is not None and B.eijdns is not None:
+        EA = A.eijdns[:A.length]
+        EB = B.eijdns[:B.length]
+        BD = (scale * spb) * (EA @ EB.T)
+        B0[:A.length, :B.length] = (scale * spb) * np.outer(EA[:, 0],
+                                                            EB[:, 0])
+    return BD, B0
+
+
 def group_align(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
                 wdw: Window | None = None, scale: float = 1.0,
-                pads: tuple[int, int] | None = None):
+                pads: tuple[int, int] | None = None, spb: float = 0.0):
     """Align two prepared groups with the JAX wavefront kernel.
     Returns (score, skl).
 
@@ -262,6 +289,9 @@ def group_align(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
     S[:La, :Lb] = np.einsum(
         "mc,cd,nd->mn", A.freq.astype(np.float64), mtx.astype(np.float64),
         B.freq.astype(np.float64)).astype(np.float32)
+    BD, B0 = _bonus_images(A, B, la_max, lb_max, spb, scale)
+    if BD is not None:
+        S[:La, :Lb] += BD
 
     na_a, gda, pga = _col_arrays(A)
     na_b, gdb, pgb = _col_arrays(B)
@@ -297,7 +327,7 @@ def group_align(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
     wb[:bn] = (B.weight if B.weight is not None else np.ones(bn))
 
     score, dirs, opens = _wavefront_group(
-        S, na_a, gda, pga, na_b, gdb, pgb, cfa, efa, cfb, efb, wa, wb,
+        S, B0, na_a, gda, pga, na_b, gdb, pgb, cfa, efa, cfb, efb, wa, wb,
         np.int32(La), np.int32(Lb), np.int32(lw), np.int32(up),
         np.float32(u), np.float32(-scale * v),
         nslot=nslot, nsteps=nsteps, an=pa, bn=pb,
@@ -364,7 +394,7 @@ def _traceback_wave(dirs: np.ndarray, opens: np.ndarray, La: int, Lb: int,
 
 
 def group_align_batch(pairs, mtx, u: float, v: float, sh: int,
-                      pads: tuple[int, int]):
+                      pads: tuple[int, int], spb: float = 0.0):
     """Score+traceback a batch of group pairs in one launch.
 
     ``pairs`` = list of (A, B) prepared Msa pairs, padded to common
@@ -384,7 +414,8 @@ def group_align_batch(pairs, mtx, u: float, v: float, sh: int,
 
     ins = []
     for (A, B), w in zip(pairs, wdws):
-        ins.append(_pack_inputs(A, B, mtx, u, v, w, an_pad, la_max, lb_max))
+        ins.append(_pack_inputs(A, B, mtx, u, v, w, an_pad, la_max, lb_max,
+                                spb=spb))
     batched = [jnp.stack([x[k] for x in ins]) for k in range(len(ins[0]))]
     vm = jax.vmap(
         lambda *args: _wavefront_group(
@@ -399,7 +430,8 @@ def group_align_batch(pairs, mtx, u: float, v: float, sh: int,
     return out
 
 
-def _pack_inputs(A: Msa, B: Msa, mtx, u, v, wdw, an_pad, la_max, lb_max):
+def _pack_inputs(A: Msa, B: Msa, mtx, u, v, wdw, an_pad, la_max, lb_max,
+                 spb: float = 0.0):
     """Build the _wavefront_group argument tuple for one pair."""
     La, Lb = A.length, B.length
     an, bn = A.many, B.many
@@ -407,6 +439,9 @@ def _pack_inputs(A: Msa, B: Msa, mtx, u, v, wdw, an_pad, la_max, lb_max):
     S[:La, :Lb] = np.einsum(
         "mc,cd,nd->mn", A.freq.astype(np.float64), mtx.astype(np.float64),
         B.freq.astype(np.float64)).astype(np.float32)
+    BD, B0 = _bonus_images(A, B, la_max, lb_max, spb)
+    if BD is not None:
+        S[:La, :Lb] += BD
     na_a, gda, pga = _col_arrays(A)
     na_b, gdb, pgb = _col_arrays(B)
 
@@ -435,6 +470,7 @@ def _pack_inputs(A: Msa, B: Msa, mtx, u, v, wdw, an_pad, la_max, lb_max):
     wa[:an] = A.weight if A.weight is not None else np.ones(an)
     wb = np.zeros(an_pad, np.float32)
     wb[:bn] = B.weight if B.weight is not None else np.ones(bn)
-    return (S, na_a, gda, pga, na_b, gdb, pgb, cfa, efa, cfb, efb, wa, wb,
+    return (S, B0, na_a, gda, pga, na_b, gdb, pgb, cfa, efa, cfb, efb,
+            wa, wb,
             np.int32(La), np.int32(Lb), np.int32(wdw.lw), np.int32(wdw.up),
             np.float32(u), np.float32(-v))

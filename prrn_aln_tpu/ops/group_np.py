@@ -55,7 +55,8 @@ def _col_arrays(msa: Msa):
 
 def group_align_np(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
                    wdw: Window, scale: float = 1.0,
-                   ls: int = 1, u1: float = 0.6, k1: int = 7):
+                   ls: int = 1, u1: float = 0.6, k1: int = 7,
+                   spb: float = 0.0):
     """Banded group alignment.  Returns (score, skl) with skl a list of
     (m, n) path vertices from (0,0) to (La, Lb).
 
@@ -77,6 +78,17 @@ def group_align_np(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
     # column score table S[m', n'] for consumed columns (1-based)
     S = np.einsum("mc,cd,nd->mn", A.freq.astype(np.float64),
                   mtx.astype(np.float64), B.freq.astype(np.float64))
+
+    # intron-position match bonus (fwd2c.h:306-312, gsinfo.h:221-229):
+    # BD[m,n] = SpbFact * sum_p EA[m,p]*EB[n,p] added to the diagonal
+    # candidate at cell (m+1,n+1); B0 (phase 0 only) to the winning gap
+    # lane.  EA/EB are the per-codon-column junction densities.
+    BD = B0 = None
+    if spb > 0 and A.eijdns is not None and B.eijdns is not None:
+        EA = A.eijdns[:La]
+        EB = B.eijdns[:Lb]
+        BD = scale * spb * (EA @ EB.T)
+        B0 = scale * spb * np.outer(EA[:, 0], EB[:, 0])
 
     na, gda, pga = _col_arrays(A)     # index by m' (0 = boundary)
     nb, gdb, pgb = _col_arrays(B)
@@ -312,6 +324,26 @@ def group_align_np(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
                     if f2_val >= mx_val:
                         mx_val, mx_lane = f2_val, HORI2
                         mx_gla, mx_glb = f2_gla, f2_glb
+
+            # --- intron-position bonus (fwd2c.h:306-312): full-phase to
+            # the diagonal candidate, phase-0 to the winning gap lane;
+            # the reference mutates the lane record through its mx
+            # pointer, so the gap-lane bonus persists into extensions.
+            if BD is not None:
+                bd = BD[m, npr - 1]
+                if bd:
+                    d_val += bd
+                b0 = B0[m, npr - 1]
+                if b0 and mx_val > NEVSEL / 2:
+                    mx_val += b0
+                    if mx_lane == VERT:
+                        G["val"][i] += b0
+                    elif mx_lane == VERT2:
+                        G2["val"][i] += b0
+                    elif mx_lane == HORI:
+                        f_val += b0
+                    else:
+                        f2_val += b0
 
             # --- select -------------------------------------------------
             if mx_val > d_val:

@@ -32,9 +32,12 @@ def build_msa(records: list[SeqRecord], params: AlnParams | None = None,
 
     seqs = [ab.encode(r.seq.replace("-", ""), molc) for r in records]
     names = [r.name for r in records]
+    from .msa.sigii import eij_from_exons
+    step = 3 if molc == ab.PROTEIN else 1
+    exlist = [eij_from_exons(r.exons, step) for r in records]
 
     if len(seqs) == 1:
-        return single(seqs[0], molc, names[0])
+        return single(seqs[0], molc, names[0], eij=exlist[0])
     if len(seqs) >= 16:        # sl-forest scale-out (prrn5 min_seqs)
         return build_msa_denovo_large(records, params, molc, maxitr=maxitr,
                                       randseed=randseed, refine=refine,
@@ -44,19 +47,22 @@ def build_msa(records: list[SeqRecord], params: AlnParams | None = None,
                                  sh=params.sh, mesh=mesh)
     t = tree.upgma(d, len(seqs))
 
-    leaves = [single(s, molc, n) for s, n in zip(seqs, names)]
+    leaves = [single(s, molc, n, eij=e)
+              for s, n, e in zip(seqs, names, exlist)]
     msa = progressive_msa(leaves, t, mtx, u=params.u, v=params.v,
-                          sh=params.sh)
+                          sh=params.sh, spb=params.spb)
     if refine and msa.many > 2:
         crand = GlibcRand(1)
         if local_thr > 0:
             from .msa.refine import refine_with_consreg
             res = refine_with_consreg(msa, mtx, u=params.u, v=params.v,
                                       sh=params.sh, maxitr=maxitr,
-                                      randseed=randseed, crand=crand)
+                                      randseed=randseed, crand=crand,
+                                      spb=params.spb)
         else:
             res = refine_msa(msa, mtx, u=params.u, v=params.v, sh=params.sh,
-                             maxitr=maxitr, randseed=randseed, crand=crand)
+                             maxitr=maxitr, randseed=randseed, crand=crand,
+                             spb=params.spb)
         msa = res.msa
     return msa
 
