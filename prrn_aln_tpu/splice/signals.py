@@ -180,3 +180,38 @@ class SpliceSignals:
 
     def is_accpt(self, n: int) -> bool:
         return bool(self.cano3[n])
+
+
+def pwm_fit_mrkv1(red: np.ndarray, mtx: np.ndarray,
+                  offset: int) -> np.ndarray:
+    """calcPatMat (Mrkv=1, single sequence; utilseq.cc:899-925): first-
+    order nucleotide Markov PWM (rows = 4 + 16 features per position);
+    fit[p] scores the window starting at p - offset."""
+    L = len(red)
+    cols = mtx.shape[0]
+    bad = red >= _BAD
+    r0 = np.where(bad, 0, red).astype(np.int64)
+    out = np.empty(L, np.float64)
+    for p in range(L):
+        n = p - offset
+        q = 1 if n + cols >= L else 0
+        fit = 0.0
+        m = -n if n < 0 else 0
+        s = max(n, 0)
+        stop = min(n + cols, L - 1)
+        while s < stop and m < cols:
+            k = int(r0[s])
+            if bad[s]:
+                q += 1
+            if not q:
+                if m == 0:
+                    fit += mtx[m, k]
+                if bad[s + 1]:
+                    q += 1
+                k = 4 * k + int(r0[s + 1]) + 4
+            if not q:
+                fit += mtx[m, k]
+            m += 1
+            s += 1
+        out[p] = fit
+    return out
