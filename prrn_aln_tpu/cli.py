@@ -156,6 +156,9 @@ def aln_main(argv=None) -> int:
                    help="shuffle significance test with N jumbles")
     p.add_argument("-G", action="store_true",
                    help="spliced alignment: first input is genomic DNA")
+    p.add_argument("-yl", type=int, default=None,
+                   help="2/3: spliced (gene-prediction) alignment "
+                        "(reference -yl2/-yl3; implies -G)")
     p.add_argument("-O", type=int, default=1,
                    help="output mode (gene-structure formats with -G)")
     p.add_argument("-M", action="store_true",
@@ -188,17 +191,44 @@ def aln_main(argv=None) -> int:
         sys.stdout.write(text)
         return 0
 
-    if args.G:
-        from .splice.api import spliced_align
+    if args.G or args.yl in (2, 3):
         grecs = io.sniff_and_read(args.inputs[0])
         qrecs = io.sniff_and_read(args.inputs[1])
+        qmolc = ab.infer_molc(qrecs[0].seq)
         out = []
-        for q in qrecs:
-            res = spliced_align(grecs[0].seq, q.seq,
-                                gname=grecs[0].name, qname=q.name,
-                                sh=args.w if args.w is not None else -50,
-                                u=args.u, v=args.v)
-            out.append(res.render(args.O & 7 if args.O < 16 else args.O))
+        if qmolc == ab.PROTEIN:
+            # genome x protein / protein-profile: Algorithm H (fwd2h)
+            from .splice.hapi import spliced_align_h
+            aligned = (len(qrecs) > 1
+                       and len({len(r.seq) for r in qrecs}) == 1)
+            if aligned:
+                msa = io.records_to_msa(qrecs, ab.PROTEIN)
+                res = spliced_align_h(
+                    grecs[0].seq, None, gname=grecs[0].name,
+                    qname=qrecs[0].name, msa=msa,
+                    sh=args.w if args.w is not None else -50,
+                    u=args.u, v=args.v, pam=args.yp, yj=args.yJ)
+                out.append(res.render(args.O & 7 if args.O < 16
+                                      else args.O))
+            else:
+                for q in qrecs:
+                    res = spliced_align_h(
+                        grecs[0].seq, q.seq, gname=grecs[0].name,
+                        qname=q.name,
+                        sh=args.w if args.w is not None else -50,
+                        u=args.u, v=args.v, pam=args.yp, yj=args.yJ)
+                    out.append(res.render(args.O & 7 if args.O < 16
+                                          else args.O))
+        else:
+            from .splice.api import spliced_align
+            for q in qrecs:
+                res = spliced_align(
+                    grecs[0].seq, q.seq,
+                    gname=grecs[0].name, qname=q.name,
+                    sh=args.w if args.w is not None else -50,
+                    u=args.u, v=args.v)
+                out.append(res.render(args.O & 7 if args.O < 16
+                                      else args.O))
         text = "".join(out)
         if args.o:
             from pathlib import Path

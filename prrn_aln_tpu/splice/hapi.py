@@ -1,0 +1,458 @@
+"""High-level protein x genomic-DNA spliced alignment: the reference's
+`aln -yl2 -L <genome> <protein>` gene-prediction mode ("Algorithm H",
+src/fwd2h.h, dispatched from src/maln2.cc:1891,1911-1916).
+
+Drives ops/spliced_h_np.forward_h, re-walks the path into per-exon
+records (the skl_rngH/verify equivalent, src/fwd2h.h:585-760), and
+renders the reference's gene-structure output modes (-O0..-O5,
+src/sqpr.cc Gff3Form/BedForm/ExonForm/IntronForm + the codon-spaced
+alignment printout of PrintAln for tron rows).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .. import alphabet as ab
+from .. import scoring
+from ..config import default_params
+from ..ops.spliced_h_np import forward_h, HParams
+from .exin import Exin, build_exin
+from .gsinfo import ExonRecord, GeneStructure, NEVSEL
+from .penalty import IntronPenalty
+from . import tron
+from . import output as fmt
+
+IP_EQU_K = 3                  # codepot.h:184
+ALN_DEF_SH = -50              # aln.cc:573
+
+
+def stripe31(M: int, N: int, sh: int):
+    """Codon-stepped band over r = n - 3m (aln2.cc:176-196 stripe31)."""
+    if sh < 0:
+        shld = 3 * ((-sh) * min(M, N // 3) // 100)
+    else:
+        shld = 3 * sh
+    lw = max(-shld, -3 * M)
+    up = min(N - 3 * M + shld, N)
+    return lw, up
+
+
+def build_qprof(a: np.ndarray, tm: np.ndarray) -> np.ndarray:
+    """Per-residue tron score rows; row M+1 duplicates M for the sj
+    lookahead (mseq profile layout, single-sequence case)."""
+    M = len(a)
+    qprof = np.zeros((M + 2, tron.TSIMD))
+    for m in range(1, M + 1):
+        qprof[m] = tm[a[m - 1]]
+    qprof[M + 1] = qprof[M]
+    return qprof
+
+
+def _fold(code: int) -> int:
+    if code == tron.SER2:
+        return ab.SER
+    return code
+
+
+def trim_terminal(knots):
+    """Drop terminal-gap knots (fwd2h lastH extensions past the last
+    aligned codon; reference exons end at the last aligned nt)."""
+    out = list(knots)
+    while len(out) >= 2 and out[-1][0] == out[-2][0] \
+            and out[-1][1] - out[-2][1] < 20:
+        out.pop()
+    while len(out) >= 2 and out[0][0] == out[1][0] \
+            and 0 < out[1][1] - out[0][1] < 20:
+        out.pop(0)
+    return out
+
+
+def gene_structure_h(a, b, knots, exin: Exin, ipen: IntronPenalty,
+                     qprof, prm: HParams) -> GeneStructure:
+    """Re-walk the forward_h knot chain into ExonRecords (genome
+    coordinates in nt, query coordinates in residues) — the skl_rngH /
+    verify equivalent (src/fwd2h.h:585-760).
+
+    Intron jumps are same-m knot pairs of length >= ipen.llmt (the DP
+    only records such jumps at spliceable donor/acceptor pairs);
+    shorter horizontal runs are frameshift or codon-unit gaps."""
+    trn = exin.trn
+    knots = trim_terminal(knots)
+    exons: list[ExonRecord] = []
+    m, n = knots[0]
+    hval = 0.0
+    mch = mmc = unp = 0.0
+    ngaps = 0
+    rbuf = ExonRecord(left=n, rleft=m, iscr=NEVSEL)
+    e_start_val = 0.0
+
+    def diag(mm, nn, k):
+        """Score/count one codon at residue mm+1+k, start nt nn+3k."""
+        nonlocal hval, mch, mmc
+        mi = mm + 1 + k
+        c = nn + 3 * k + 1          # codon center (0-based)
+        hval += float(qprof[mi][trn[c]]) \
+            + (float(exin.sigE[c]) if c >= 0 else 0.0)
+        if _fold(int(trn[c])) == _fold(int(a[mi - 1])):
+            mch += 1
+            rbuf.mch += 1
+        else:
+            mmc += 1
+            rbuf.mmc += 1
+
+    for wm, wn in knots[1:]:
+        dm, dn = wm - m, wn - n
+        if dm == 0 and dn == 0:
+            continue
+        if dm == 0 and dn >= ipen.llmt:
+            # intron
+            sig5 = float(exin.sig5_at(n))
+            sig3 = float(exin.sig3[wn]) if wn < len(exin.sig3) else 0.0
+            xi = sig5 + float(exin.sig53_at(n, wn)) \
+                + float(ipen.penalty(wn - n))
+            rbuf.right = n
+            rbuf.rright = m
+            rbuf.iscr = xi
+            rbuf.sig5 = sig5
+            rbuf.escr = hval + sig5 - e_start_val
+            rbuf.mch3, rbuf.mmc3, rbuf.unp3 = rbuf.mch, rbuf.mmc, \
+                rbuf.unp
+            exons.append(dataclasses.replace(rbuf))
+            hval += xi
+            e_start_val = hval - sig3
+            cds_nt = sum(e.right - e.left for e in exons)
+            rbuf = ExonRecord(left=wn, rleft=m, sig3=sig3, iscr=NEVSEL,
+                              phs=(3 * m - cds_nt) % 3)
+            rbuf.mch = rbuf.mmc = rbuf.unp = 0
+        elif dm > 0 and dn == 3 * dm:
+            for k in range(dm):
+                diag(m, n, k)
+        elif dn == 0:
+            # vertical: unpaired query residues
+            unp += dm
+            rbuf.unp += dm
+            ngaps += 1
+            hval += prm.gop + dm * prm.unp
+        else:
+            # mixed run: diagonal codons first, then the gap remainder
+            # (fwd2h's record chain stores bends lazily; a mixed jump
+            # is diag-then-gap by construction of the lanes)
+            d = min(dm, dn // 3)
+            for k in range(d):
+                diag(m, n, k)
+            rest = dn - 3 * d
+            if rest:
+                ngaps += 1
+                if rest % 3 == 0:
+                    # codon-unit genome-only advance = unpaired codons
+                    unp += rest // 3
+                    rbuf.unp += rest // 3
+                    hval += prm.gop + (rest // 3) * prm.unp
+                else:
+                    hval += prm.gop + rest * prm.gep + prm.extra_gop
+            if dm - d > 0:
+                unp += dm - d
+                rbuf.unp += dm - d
+                ngaps += 1
+                hval += prm.gop + (dm - d) * prm.unp
+        m, n = wm, wn
+
+    rbuf.right = n
+    rbuf.rright = m
+    rbuf.iscr = 0.0
+    rbuf.escr = hval - e_start_val
+    rbuf.mch3, rbuf.mmc3, rbuf.unp3 = rbuf.mch, rbuf.mmc, rbuf.unp
+    exons.append(dataclasses.replace(rbuf))
+
+    # terminal signals fold into the flanking exon scores (EijPat
+    # sigS/sigT; ExonForm's Sig3/I and Sig5/T columns)
+    if exin.sigS is not None and exons:
+        first = exons[0]
+        s = first.left + 1
+        if 0 <= s < len(exin.sigS):
+            first.sig3 = float(exin.sigS[s])
+            first.escr += first.sig3
+            hval += first.sig3
+    if exin.sigT is not None and exons:
+        last = exons[-1]
+        if 0 <= last.right + 1 < len(exin.sigT):
+            last.sig5 = float(exin.sigT[last.right + 1])
+            last.escr += last.sig5
+            hval += last.sig5
+
+    return GeneStructure(score=hval, exons=exons, mch=mch, mmc=mmc,
+                         gap=ngaps, unp=unp)
+
+
+@dataclasses.dataclass
+class SplicedResultH:
+    score: float              # DP score (forward_h)
+    knots: list
+    gs: GeneStructure
+    gname: str
+    qname: str
+    genome: str
+    protein: str
+    u: float
+    v: float
+    pam: int
+    exin: Exin
+    raw_knots: list = None     # untrimmed chain (terminal runs kept)
+
+    @property
+    def reported_score(self) -> float:
+        """maln2.cc:1941: DP score minus GapPenalty(Ip_equ_k) per
+        intron (gap penalty is negative, so this adds)."""
+        gp = -(self.v + IP_EQU_K * self.u)
+        return self.gs.score - gp * (len(self.gs.exons) - 1)
+
+    @property
+    def exons(self):
+        return [(e.left + 1, e.right) for e in self.gs.exons]
+
+    def render(self, mode: int = 1) -> str:
+        rep = self.reported_score
+        glen = len(self.genome)
+        qlen = len(self.protein)
+        if mode in (0, 8):
+            return fmt.gff3_gene(self.gs, self.gname, glen, self.qname,
+                                 rep, feature="cds")
+        if mode == 2:
+            return fmt.gff3_match(self.gs, self.knots, self.gname, glen,
+                                  self.qname,
+                                  feature="nucleotide_to_protein_match",
+                                  mstep=3)
+        if mode == 3:
+            return fmt.bed_line(self.gs, self.gname, self.qname, rep)
+        if mode == 4:
+            return fmt.exon_table(self.gs, self.genome, self.gname,
+                                  self.qname, qlen, rep)
+        if mode == 5:
+            return fmt.intron_table(self.gs, self.genome, self.gname,
+                                    self.qname, qlen)
+        return spliced_alignment_text_h(
+            self.gs, self.raw_knots or self.knots, self.genome,
+            self.protein, self.exin, self.gname, self.qname, rep,
+            u=self.u, v=self.v, pam=self.pam)
+
+
+def profile_qprof(codes: np.ndarray, weight, tm: np.ndarray
+                  ) -> np.ndarray:
+    """MSA-profile query rows: weighted average of member tron-score
+    rows (mseq VECPRO over the Hmtx, gap rows contribute the unp
+    column; reference profile_p mseq.cc:413-435)."""
+    many, M = codes.shape
+    w = np.asarray(weight, float) if weight is not None else \
+        np.ones(many)
+    if w.ndim == 0:
+        w = np.full(many, float(w))
+    if w.sum():
+        w = w / w.sum()
+    qprof = np.zeros((M + 2, tron.TSIMD))
+    for i in range(many):
+        qprof[1:M + 1] += w[i] * tm[codes[i]]
+    qprof[M + 1] = qprof[M]
+    return qprof
+
+
+def spliced_align_h(genome: str, protein, gname: str = "genome",
+                    qname: str = "query", sh: int = ALN_DEF_SH,
+                    u: float | None = None, v: float | None = None,
+                    pam: int | None = None, yj: float | None = None,
+                    intron_pos=None, msa=None) -> SplicedResultH:
+    """Gene prediction: align a protein query to genomic DNA with
+    introns (aln -yl2 -L).  intron_pos: optional sorted array of known
+    tron-scale intron positions of the query (the -yJ GSA bonus).
+    msa: optional Msa of the query group — the DP then runs against the
+    weighted profile, with `protein` its consensus for display."""
+    genome = genome.upper()
+    prm = default_params(ab.PROTEIN, "aln")
+    if pam is None:
+        pam = 150               # aln DNAxAA default (aln2.cc:124)
+    if u is None:
+        u = prm.u
+    if v is None:
+        v = prm.v
+    pmtx, _ = scoring.protein_matrix(
+        dataclasses.replace(prm, pam=pam, u=u, v=v))
+    tm = tron.tron_matrix(pmtx, u=u, o=30.0)
+    b = ab.encode(genome, ab.DNA)
+    if msa is not None:
+        a = np.where(msa.codes[0] > ab.GAP, msa.codes[0],
+                     ab.AMB).astype(np.int64)
+        protein = ab.decode(a, ab.PROTEIN)
+        qprof = profile_qprof(msa.codes, msa.weight, tm)
+    else:
+        protein = protein.upper()
+        a = ab.encode(protein, ab.PROTEIN)
+        qprof = build_qprof(a, tm)
+    exin = build_exin(b)
+    ipen = IntronPenalty.build(f=1.0, y=8.0, sss=0.5, u=u, v=v,
+                               ip=15.0, fact=8.0)
+    hprm = HParams(u=u, v=v)
+    lw, up = stripe31(len(a), len(b), sh)
+    api = None
+    if intron_pos is not None and len(intron_pos):
+        bonus = 20.0 if yj is None else yj
+        pos = np.asarray(intron_pos)
+
+        def api(pt):
+            return bonus if np.any(pos == pt) else 0.0
+
+    score, raw = forward_h(qprof, b, exin, ipen, hprm, lw, up, api=api)
+    knots = trim_terminal(raw)
+    gs = gene_structure_h(a, b, knots, exin, ipen, qprof, hprm)
+    return SplicedResultH(score=score, knots=knots, gs=gs, gname=gname,
+                          qname=qname, genome=genome, protein=protein,
+                          u=u, v=v, pam=pam, exin=exin, raw_knots=raw)
+
+
+def spliced_alignment_text_h(gs: GeneStructure, knots, genome: str,
+                             protein: str, exin: Exin, gname: str,
+                             qname: str, reported: float, u: float,
+                             v: float, pam: int, lpw: int = 60,
+                             margin: int = 10) -> str:
+    """Default -O1 printout: codon-spaced rows — translated genome on
+    top, genome nt (introns lowercase) in the middle, query residues on
+    the bottom (sqpr.cc PrintAln over tron sequences)."""
+    hdr = [""]
+    hdr.append(f">{gname} [1:{len(genome)}]  ( 1 - {len(genome)} ) - "
+               f">{qname} [1:{len(protein)}]  ( 1 - {len(protein)} )")
+    hdr.append(fmt.cjoin_line(gs))
+    hdr.append("PAM = %d, BIAS = 0.0, u = %.1f, v = %.1f" % (pam, u, v))
+    denom = gs.mch + gs.mmc + gs.unp
+    pct = 100.0 * gs.mch / denom if denom else 0.0
+    hdr.append("Score = %5.1f (%5.1f), %.1f (=), %.1f (#), %.1f (g), "
+               "%.1f (u), (%5.2f %%)"
+               % (reported, gs.score, gs.mch, gs.mmc, gs.gap, gs.unp,
+                  pct))
+    hdr.append("ALIGNMENT   1 / 1")
+    text = "\n".join(hdr) + "\n"
+
+    introns = [(e0.right, e1.left) for e0, e1 in
+               zip(gs.exons, gs.exons[1:])]
+
+    def in_intron(g):
+        return any(s <= g < e for s, e in introns)
+
+    trn = exin.trn
+    timg, gimg, pimg = [], [], []
+    gpos, ppos = [], []
+    m, n = knots[0]
+    for wm, wn in knots[1:]:
+        dm, dn = wm - m, wn - n
+        if dm == 0 and dn == 0:
+            continue
+        if dm > 0 and dn == 3 * dm:
+            for k in range(dm):
+                c = n + 3 * k + 1
+                aa = tron.TRON_LETTERS[int(trn[c])]
+                qa = protein[m + k]
+                for j in range(3):
+                    gpos.append(n + 3 * k + j)
+                    ppos.append(m + k)
+                    gimg.append(genome[n + 3 * k + j])
+                    timg.append(aa if j == 1 else " ")
+                    pimg.append(qa if j == 1 else " ")
+        elif dm == 0:
+            intr = dn >= 20 or in_intron(n)
+            term = m == 0 or m == len(protein)
+            if intr or term:
+                for k in range(dn):
+                    gpos.append(n + k)
+                    ppos.append(m)
+                    gimg.append(genome[n + k].lower())
+                    timg.append(" ")
+                    pimg.append(" ")
+            elif dn % 3 == 0:
+                # codon-unit genome-only gap: keep the codon cells
+                for k in range(dn // 3):
+                    c = n + 3 * k + 1
+                    aa = tron.TRON_LETTERS[int(trn[c])]
+                    for j in range(3):
+                        gpos.append(n + 3 * k + j)
+                        ppos.append(m)
+                        gimg.append(genome[n + 3 * k + j])
+                        timg.append(aa if j == 1 else " ")
+                        pimg.append("-" if j == 1 else " ")
+            else:
+                for k in range(dn):
+                    gpos.append(n + k)
+                    ppos.append(m)
+                    gimg.append(genome[n + k])
+                    timg.append(" ")
+                    pimg.append("-")
+        else:
+            d = min(dm, dn // 3) if dn else 0
+            for k in range(d):
+                c = n + 3 * k + 1
+                aa = tron.TRON_LETTERS[int(trn[c])]
+                qa = protein[m + k]
+                for j in range(3):
+                    gpos.append(n + 3 * k + j)
+                    ppos.append(m + k)
+                    gimg.append(genome[n + 3 * k + j])
+                    timg.append(aa if j == 1 else " ")
+                    pimg.append(qa if j == 1 else " ")
+            rest = dn - 3 * d
+            if rest % 3 == 0:
+                for k in range(rest // 3):
+                    c = n + 3 * d + 3 * k + 1
+                    aa = tron.TRON_LETTERS[int(trn[c])]
+                    for j in range(3):
+                        gpos.append(n + 3 * d + 3 * k + j)
+                        ppos.append(m + d)
+                        gimg.append(genome[n + 3 * d + 3 * k + j])
+                        timg.append(aa if j == 1 else " ")
+                        pimg.append("-" if j == 1 else " ")
+            else:
+                for k in range(rest):
+                    gpos.append(n + 3 * d + k)
+                    ppos.append(m + d)
+                    gimg.append(genome[n + 3 * d + k])
+                    timg.append(" ")
+                    pimg.append("-")
+            for k in range(dm - d):
+                qa = protein[m + d + k]
+                for j in range(3):
+                    gpos.append(n + dn)
+                    ppos.append(m + d + k)
+                    gimg.append("-")
+                    timg.append(" ")
+                    pimg.append(qa if j == 1 else " ")
+        m, n = wm, wn
+
+    ncol = len(gimg)
+    z = 0
+    while z < ncol:
+        # long all-intron stretches get skipped like the cDNA printer
+        if gimg[z].islower():
+            e = z
+            while e < ncol and gimg[e].islower():
+                e += 1
+            if e - z > lpw + 2 * margin:
+                skip = (e - z - 2 * margin) // lpw * lpw
+                if skip > 0:
+                    text += "\n;; skip %d nt's\n" % skip
+                    z += skip
+                    continue
+        text += "\n"
+        tseg = "".join(timg[z: z + lpw]).ljust(lpw)
+        gseg = "".join(gimg[z: z + lpw]).ljust(lpw)
+        pseg = "".join(pimg[z: z + lpw]).ljust(lpw)
+        # the query number is the first residue whose letter (codon
+        # center) falls inside this block
+        qnum = ppos[z] + 1
+        for j in range(z, min(z + lpw, ncol)):
+            if pimg[j] not in (" ", "-"):
+                qnum = ppos[j] + 1
+                break
+        text += "         %s\n" % tseg
+        text += "%8d %s| %s\n" % (gpos[z] + 1, gseg, gname)
+        text += "%8d %s| %s\n" % (qnum, pseg, qname)
+        z += lpw
+    text += "\n\n"
+    return text

@@ -21,8 +21,10 @@ def cjoin_line(gs: GeneStructure) -> str:
 
 
 def gff3_gene(gs: GeneStructure, gname: str, glen: int, qname: str,
-              reported: float, mid: int = 1) -> str:
-    """-O0: gene/mRNA/exon records (sqpr.cc Gff3Form)."""
+              reported: float, mid: int = 1,
+              feature: str = "exon") -> str:
+    """-O0: gene/mRNA/exon records (sqpr.cc Gff3Form); protein queries
+    emit `cds` features with a frame column instead of `exon`."""
     out = []
     first = gs.exons[0]
     last = gs.exons[-1]
@@ -37,15 +39,18 @@ def gff3_gene(gs: GeneStructure, gname: str, glen: int, qname: str,
     out.append(f"{gname}\tALN\tmRNA\t{l}\t{r}\t{scr}\t+\t.\t"
                f"ID=mRNA{mid:05d};Parent=gene{mid:05d};Name={mname}")
     for i, e in enumerate(gs.exons, 1):
-        out.append(f"{gname}\tALN\texon\t{_site(e.left)}\t{e.right}\t"
-                   f"{int(e.escr)}\t+\t.\t"
-                   f"ID=exon{i:05d};Parent=mRNA{mid:05d};Name={mname};"
+        frame = str(e.phs) if feature == "cds" else "."
+        out.append(f"{gname}\tALN\t{feature}\t{_site(e.left)}\t{e.right}"
+                   f"\t{int(e.escr)}\t+\t{frame}\t"
+                   f"ID={feature}{i:05d};Parent=mRNA{mid:05d};"
+                   f"Name={mname};"
                    f"Target={qname} {_site(e.rleft)} {e.rright} +")
     return "\n".join(out) + "\n"
 
 
 def gff3_match(gs: GeneStructure, skl, gname: str, glen: int,
-               qname: str, mid: int = 1) -> str:
+               qname: str, mid: int = 1, feature: str = "cDNA_match",
+               mstep: int = 1) -> str:
     """-O2: cDNA_match records with Gap= attributes (sqpr.cc Gff3PWA).
 
     The Gap attribute walks the skl knots that fall inside each exon,
@@ -79,12 +84,25 @@ def gff3_match(gs: GeneStructure, skl, gname: str, glen: int,
             elif dn == 0:
                 gap_ops.append(f"I{dm}")
             elif dm == 0:
-                gap_ops.append(f"D{dn}")
+                # genome-only advance: deletion vs the query, in query
+                # units (codons) for protein matches
+                gap_ops.append((f"D{dn // 3}" if mstep == 3
+                                else f"D{dn}"))
+            elif mstep == 3 and dn != mstep * dm:
+                # codon-stepped mixed run: aligned codons then a
+                # codon-unit genome-only remainder
+                d = min(dm, dn // 3)
+                if d:
+                    gap_ops.append(f"M{d}")
+                if dn - 3 * d:
+                    gap_ops.append(f"D{(dn - 3 * d) // 3}")
+                if dm - d:
+                    gap_ops.append(f"I{dm - d}")
             else:
                 gap_ops.append(f"M{dm}")
             prv = skl[w]
             w += 1
-        out.append(f"{gname}\tALN\tcDNA_match\t{_site(e.left)}\t{e.right}"
+        out.append(f"{gname}\tALN\t{feature}\t{_site(e.left)}\t{e.right}"
                    f"\t{int(e.escr)}\t+\t.\t"
                    f"ID=match{mid:05d};Name={mname};"
                    f"Target={qname} {_site(e.rleft)} {e.rright} +;"

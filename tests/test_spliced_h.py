@@ -85,3 +85,103 @@ def test_exin_signal_shapes(mini):
     assert ex.phs5[251] == 0
     # canonical AG acceptor ending at the known intron end
     assert ex.phs3[306] == 0
+
+
+# ---------------------------------------------------------------------
+# CLI gene-prediction parity (aln -yl2 -L <genome> <protein>), golden
+# outputs captured from the reference build (fixtures aln_H_mini_*).
+
+@pytest.fixture(scope="module")
+def hresult():
+    from prrn_aln_tpu.splice.hapi import spliced_align_h
+    g = io.sniff_and_read(FIX / "mini_gen.fa")[0]
+    q = io.sniff_and_read(FIX / "mini_pro.fa")[0]
+    return spliced_align_h(g.seq, q.seq, gname=g.name, qname=q.name)
+
+
+def test_h_exon_structure(hresult):
+    assert hresult.exons == [(66, 251), (307, 651)]
+
+
+def test_h_O5_intron_table_bytes(hresult):
+    golden = (FIX / "aln_H_mini_O5.txt").read_text()
+    assert hresult.render(5) == golden
+
+
+def test_h_O1_alignment_text_bytes(hresult):
+    """Byte parity on every line except the Score line (the verify
+    re-score differs by <1 unit; see hapi.gene_structure_h)."""
+    golden = (FIX / "aln_H_mini_O1.txt").read_text().splitlines()
+    ours = hresult.render(1).splitlines()
+    assert len(ours) == len(golden)
+    for g, o in zip(golden, ours):
+        if g.startswith("Score ="):
+            continue
+        assert o == g
+
+
+def test_h_score_line_epsilon(hresult):
+    assert hresult.reported_score == pytest.approx(1009.1, abs=1.0)
+    assert hresult.gs.score == pytest.approx(994.1, abs=1.0)
+
+
+def test_h_O0_gff3_structure(hresult):
+    golden = (FIX / "aln_H_mini_O0.txt").read_text().splitlines()
+    ours = hresult.render(0).splitlines()
+    assert len(ours) == len(golden)
+    for g, o in zip(golden, ours):
+        gf, of = g.split("\t"), o.split("\t")
+        # feature/coordinate/frame/attribute parity; scores epsilon
+        assert of[:3] == gf[:3]
+        if len(gf) > 4:
+            assert of[3:5] == gf[3:5]
+            assert of[6:] == gf[6:]
+
+
+def test_h_O2_gap_attribute(hresult):
+    golden = (FIX / "aln_H_mini_O2.txt").read_text().splitlines()
+    ours = hresult.render(2).splitlines()
+    for g, o in zip(golden, ours):
+        if g.startswith("#"):
+            assert o == g
+            continue
+        gf, of = g.split("\t"), o.split("\t")
+        assert of[:5] == gf[:5]
+        assert of[8].split("Gap=")[-1] == gf[8].split("Gap=")[-1]
+
+
+def test_h_O3_bed(hresult):
+    golden = (FIX / "aln_H_mini_O3.txt").read_text().splitlines()
+    ours = hresult.render(3).splitlines()
+    gf, of = golden[1].split("\t"), ours[1].split("\t")
+    assert of[:4] == gf[:4]                 # coords + name
+    assert of[5:] == gf[5:]                 # strand, thick, blocks
+
+
+def test_h_exon_escr_and_iscr(hresult):
+    e1, e2 = hresult.gs.exons
+    assert e1.escr == pytest.approx(427.9, abs=0.1)     # exact vs ref
+    assert e1.iscr == pytest.approx(4.7, abs=0.1)
+    assert (e1.mch, e1.mmc, e1.unp) == (62, 0, 0)
+    assert (e2.mch, e2.mmc, e2.unp) == (110, 0, 5)
+
+
+def test_h_profile_query(hresult):
+    """MSA-profile query: duplicated member profile reproduces the
+    single-sequence gene structure."""
+    from prrn_aln_tpu.splice.hapi import spliced_align_h
+    g = io.sniff_and_read(FIX / "mini_gen.fa")[0]
+    q = io.sniff_and_read(FIX / "mini_pro.fa")[0]
+    msa = io.records_to_msa([q, q], ab.PROTEIN)
+    res = spliced_align_h(g.seq, None, gname=g.name, qname=q.name,
+                          msa=msa)
+    assert res.exons == [(66, 251), (307, 651)]
+
+
+def test_h_cli_dispatch(capsys):
+    from prrn_aln_tpu.cli import aln_main
+    aln_main(["-yl", "2", "-O", "5", str(FIX / "mini_gen.fa"),
+              str(FIX / "mini_pro.fa")])
+    out = capsys.readouterr().out
+    golden = (FIX / "aln_H_mini_O5.txt").read_text()
+    assert out == golden
