@@ -21,7 +21,9 @@ def main():
     from prrn_aln_tpu.ops import pallas_pairwise as pp
 
     rng = np.random.default_rng(7)
-    B, L = 64, 512
+    # distance-pass scale: one launch = 256 pairs (sl-forest edge
+    # batches run thousands); big enough to amortize dispatch latency
+    B, L = 512, 512
     mtx, _ = scoring.protein_matrix(AlnParams(pam=150))
 
     prm = np.zeros((B // pp.GROUP, 8, pp.GROUP, 128), np.float32)

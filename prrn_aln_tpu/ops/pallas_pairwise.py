@@ -69,9 +69,13 @@ def _kernel(prm_ref, srot_ref, out_ref):
     Ta = jnp.where(n_idx == 0, 0.0, -(v + n_idx * u) * fa_l)
     Tav = -(v + (n_idx + 1.0) * u) * fa_l
 
+    lane0 = n_idx == 0
+    lane_lt_lb = n_idx < lb
+    lastcol = n_idx == lb - 1.0
+
     def shift1(x, fill):
         r = pltpu.roll(x, 1, axis=1)
-        return jnp.where(n_idx == 0, fill, r)
+        return jnp.where(lane0, fill, r)
 
     T = La_p + Lb_p - 1
 
@@ -79,21 +83,23 @@ def _kernel(prm_ref, srot_ref, out_ref):
         H2, H1, F1, G1, lastrow, best_col = carry
         df = jnp.float32(d)
         m_vec = df - n_idx
-        valid = (n_idx <= df) & (m_vec < la) & (n_idx < lb)
+        valid = (m_vec >= 0) & (m_vec < la) & lane_lt_lb
         s_row = srot_ref[0, d & (La_p - 1)]
 
+        # lane-0 fills: H1s/F1s feed F0, whose lane 0 must not read the
+        # wrapped tail; H2s lane 0 is never read (diag_pred selects the
+        # left-column boundary there), so its roll needs no fill
         H1s = shift1(H1, NEVSEL)
         F1s = shift1(F1, NEVSEL)
-        H2s = shift1(H2, NEVSEL)
+        H2s = pltpu.roll(H2, 1, axis=1)
 
         tb_d = -(v + df * u) * fb_l        # left-column boundary, d > 0
         diag_pred = jnp.where(m_vec == 0, Ta,
-                              jnp.where(n_idx == 0,
+                              jnp.where(lane0,
                                         jnp.where(df == 0.0, 0.0, tb_d),
                                         H2s))
 
         F0 = jnp.maximum(H1s - v, F1s) - u
-        F0 = jnp.where(n_idx == 0, NEVSEL, F0)
 
         vpH = jnp.where(m_vec == 0, Tav, H1)
         vpG = jnp.where(m_vec == 0, neg, G1)
@@ -107,15 +113,17 @@ def _kernel(prm_ref, srot_ref, out_ref):
         # last-column terminal candidates (trailing gap in b):
         #   H(m, lb-1) - (v + (la-1-m) u) * fb_r
         kf = la - 1.0 - m_vec
-        cand = jnp.where((n_idx == lb - 1.0) & valid & (kf > 0),
+        cand = jnp.where(lastcol & valid & (kf > 0),
                          H0 - (v + kf * u) * fb_r, neg)
-        best_col = jnp.maximum(best_col, jnp.max(cand, axis=1,
-                                                 keepdims=True))
+        # defer the cross-lane reduction: accumulate elementwise and
+        # reduce once after the sweep
+        best_col = jnp.maximum(best_col, cand)
         return (H1, H0, F0, G0, lastrow, best_col)
 
-    init = (neg, neg, neg, neg, neg, neg[:, 0:1])
+    init = (neg, neg, neg, neg, neg, neg)
     H2, H1, F1, G1, lastrow, best_col = jax.lax.fori_loop(
         0, T, step, init)
+    best_col = jnp.max(best_col, axis=1, keepdims=True)
 
     corner = jnp.max(jnp.where(n_idx == lb - 1.0, lastrow, neg),
                      axis=1, keepdims=True)
