@@ -1,6 +1,17 @@
 #!/usr/bin/env python3
-"""Benchmark: sustained DP cell-update throughput of the batched pairwise
-wavefront kernel (Pallas; the distance-matrix workhorse).
+"""Benchmark: sustained DP cell-update throughput of the production
+pairwise engine (the banded Pallas wavefront kernel that
+msa/distance.py::all_pairs_scores launches on TPU).
+
+Honest measurement rules (round-2 fix; see PERF.md):
+  * N kernel launches are fused into one XLA program via lax.scan and
+    timed around a single device->host fetch — `block_until_ready` does
+    NOT synchronize through the axon tunnel, so per-launch async timing
+    (round 1) over-reported by ~600x.
+  * Cell count is the in-band cell count actually requested (the stripe
+    of src/aln2.cc:156-174 at the prrn5 distance-pass default sh=-60),
+    not the full rectangle.
+  * Outputs are checked against the lax.scan oracle before timing.
 
 Prints one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -14,52 +25,89 @@ import time
 import numpy as np
 
 
+def band_cells(la: int, lb: int, lw: int, up: int) -> int:
+    """Number of DP cells inside the stripe lw <= n - m <= up."""
+    m = np.arange(la)[:, None]
+    n = np.arange(lb)[None, :]
+    r = n - m
+    return int(((r >= lw) & (r <= up)).sum())
+
+
 def main():
     import jax
     from prrn_aln_tpu import scoring
     from prrn_aln_tpu.config import AlnParams
     from prrn_aln_tpu.ops import pallas_pairwise as pp
+    from prrn_aln_tpu.ops.window import stripe
 
     rng = np.random.default_rng(7)
-    # distance-pass scale: one launch = 256 pairs (sl-forest edge
+    # distance-pass scale: one launch = 512 pairs (sl-forest edge
     # batches run thousands); big enough to amortize dispatch latency
-    B, L = 512, 512
+    B, L, N = 512, 512, 24
     mtx, _ = scoring.protein_matrix(AlnParams(pam=150))
+    w = stripe(L, L, -60)
 
-    prm = np.zeros((B // pp.GROUP, 8, pp.GROUP, 128), np.float32)
-    prm[:, 0] = L
-    prm[:, 1] = L
-    prm[:, 2] = 2.0
-    prm[:, 3] = 9.0
-    prm[:, 4:8] = 1.0
+    la = np.full(B, L, np.int32)
+    lb = np.full(B, L, np.int32)
+    lw = np.full(B, w.lw, np.int32)
+    up = np.full(B, w.up, np.int32)
+
+    # parameter planes exactly as pallas_pairwise_scores builds them
+    planes = np.zeros((B, pp.NPLANE), np.float32)
+    planes[:, 0] = la
+    planes[:, 1] = lb
+    planes[:, 2] = 2.0
+    planes[:, 3] = 9.0
+    planes[:, 4:8] = 1.0
+    planes[:, 8] = lw
+    planes[:, 9] = up
+    prm = np.broadcast_to(
+        planes.reshape(B // pp.GROUP, pp.GROUP, pp.NPLANE, 1)
+        .transpose(0, 2, 1, 3),
+        (B // pp.GROUP, pp.NPLANE, pp.GROUP, 128)).copy()
     prmd = jax.device_put(prm)
     mtxd = jax.device_put(mtx)
 
-    nsets = 8
-    sets = []
-    for _ in range(nsets):
-        a = rng.integers(3, 23, size=(B, L)).astype(np.int32)
-        b = rng.integers(3, 23, size=(B, L)).astype(np.int32)
-        sets.append((jax.device_put(a), jax.device_put(b)))
-
+    A = rng.integers(3, 23, size=(N, B, L)).astype(np.int32)
+    Bb = rng.integers(3, 23, size=(N, B, L)).astype(np.int32)
+    Ad, Bd = jax.device_put(A), jax.device_put(Bb)
     kw = dict(la_pad=512, lb_pad=512, dim=mtx.shape[0])
-    out = pp._prepare_and_launch(*sets[0], prmd, mtxd, **kw)
-    out.block_until_ready()
 
-    reps = 40
-    t0 = time.perf_counter()
-    outs = []
-    for i in range(reps):
-        a, b = sets[i % nsets]
-        outs.append(pp._prepare_and_launch(a, b, prmd, mtxd, **kw))
-    for o in outs:
-        o.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+    @jax.jit
+    def many(Ad, Bd):
+        def body(carry, ab):
+            a, b = ab
+            out = pp._prepare_and_launch(a, b, prmd, mtxd, **kw)
+            return carry, out[:, :, 0]
+        _, outs = jax.lax.scan(body, 0, (Ad, Bd))
+        return outs
 
-    cells = B * L * L
-    gcups = cells / dt / 1e9
+    outs = np.asarray(many(Ad, Bd))        # warm-up + result capture
+
+    # output check vs the lax.scan oracle on a subset (cells-verified)
+    from prrn_aln_tpu.ops.pairwise import wavefront_scores
+    nchk = 16
+    want = np.asarray(wavefront_scores(
+        A[0, :nchk], Bb[0, :nchk], la[:nchk], lb[:nchk],
+        lw[:nchk], up[:nchk], mtx,
+        np.full(nchk, 2.0, np.float32), np.full(nchk, 9.0, np.float32),
+        np.ones(nchk, np.float32), np.zeros((nchk, 4), bool),
+        nslot=w.width, nsteps=2 * L - 1, dim=mtx.shape[0], local=False))
+    err = float(np.abs(outs[0].reshape(-1)[:nchk] - want).max())
+    if err > 1e-3:
+        raise SystemExit(f"FAIL: kernel/oracle mismatch {err}")
+
+    reps = 3
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = np.asarray(many(Ad, Bd))
+        best = min(best, time.perf_counter() - t0)
+
+    cells = N * B * band_cells(L, L, w.lw, w.up)
+    gcups = cells / best / 1e9
     print(json.dumps({
-        "metric": "pairwise_wavefront_throughput",
+        "metric": "pairwise_banded_pallas_throughput",
         "value": round(gcups, 3),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / 1000.0, 6),

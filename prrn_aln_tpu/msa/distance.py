@@ -23,6 +23,11 @@ import jax.numpy as jnp
 from ..ops.window import stripe
 from ..ops.pairwise import wavefront_scores
 
+# pairs per Pallas launch: bounds the HBM substitution-image footprint
+# (chunk * la_pad * lb_pad * 4B) while keeping launches large enough to
+# amortize dispatch latency
+_PALLAS_CHUNK = 1024
+
 
 def condensed_index(i: int, j: int) -> int:
     """Index into the condensed pair array (reference clib elem())."""
@@ -31,13 +36,22 @@ def condensed_index(i: int, j: int) -> int:
     return j * (j - 1) // 2 + i
 
 
+def default_backend() -> str:
+    """Pallas on real TPU, the lax.scan scorer elsewhere (CPU tests)."""
+    return "pallas" if jax.default_backend() == "tpu" else "scan"
+
+
 def all_pairs_scores(seqs: list[np.ndarray], mtx: np.ndarray,
                      u: float, v: float, sh: int,
-                     mesh: jax.sharding.Mesh | None = None) -> np.ndarray:
+                     mesh: jax.sharding.Mesh | None = None,
+                     backend: str | None = None) -> np.ndarray:
     """Batched wavefront scores for all N*(N-1)/2 pairs.
 
     Returns the condensed score array ordered like the reference's
-    elem(i,j) = j*(j-1)/2 + i (i < j).
+    elem(i,j) = j*(j-1)/2 + i (i < j).  On TPU the banded Pallas
+    wavefront kernel is the production engine (the reference's hot loop
+    #1, src/adjmat.cc:119-156 / src/fwd2d1.cc); the lax.scan scorer is
+    the CPU/mesh fallback and parity oracle.
     """
     n = len(seqs)
     pairs = [(i, j) for j in range(1, n) for i in range(j)]
@@ -65,10 +79,21 @@ def all_pairs_scores(seqs: list[np.ndarray], mtx: np.ndarray,
     tg = np.ones(B, np.float32)
     exg = np.zeros((B, 4), bool)
 
+    if backend is None:
+        backend = default_backend()
     kwargs = dict(nslot=nslot, nsteps=nsteps, dim=mtx.shape[0], local=False)
     if mesh is not None:
         scores = _sharded_scores(mesh, a_batch, b_batch, la, lb, lw, up,
                                  mtx, uv, vv, tg, exg, kwargs)
+    elif backend == "pallas":
+        from ..ops.pallas_pairwise import pallas_pairwise_scores
+        outs = []
+        for s in range(0, B, _PALLAS_CHUNK):
+            e = min(B, s + _PALLAS_CHUNK)
+            outs.append(np.asarray(pallas_pairwise_scores(
+                a_batch[s:e], b_batch[s:e], la[s:e], lb[s:e], mtx,
+                u, v, lw=lw[s:e], up=up[s:e])))
+        scores = np.concatenate(outs)
     else:
         scores = wavefront_scores(a_batch, b_batch, la, lb, lw, up,
                                   mtx, uv, vv, tg, exg, **kwargs)

@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEVSEL = -1.0e30
 GROUP = 8
+NPLANE = 16     # parameter planes (10 used; padded for tile alignment)
 
 
 def _pow2(x: int) -> int:
@@ -45,8 +46,11 @@ def _pow2(x: int) -> int:
 
 def _kernel(prm_ref, srot_ref, out_ref):
     """One 8-pair group.  srot_ref block: (1, La_p, 8, Lb_p) skewed
-    scores; prm_ref block: (1, 8, 8, 128) parameter planes [la, lb, u, v,
-    fa_l, fb_l, fa_r, fb_r] broadcast over lanes; out_ref: (1, 8, 128)."""
+    scores; prm_ref block: (1, NPLANE, 8, 128) parameter planes [la, lb,
+    u, v, fa_l, fb_l, fa_r, fb_r, lw, up] broadcast over lanes; out_ref:
+    (1, 8, 128).  lw/up restrict cells to the diagonal band
+    lw <= n - m <= up (reference stripe, src/aln2.cc:156-174); a
+    full-rectangle run passes lw = -la, up = +lb."""
     _, La_p, G, Lb_p = srot_ref.shape
 
     def plane(k):
@@ -60,6 +64,8 @@ def _kernel(prm_ref, srot_ref, out_ref):
     fb_l = plane(5)
     fa_r = plane(6)
     fb_r = plane(7)
+    lw = plane(8)
+    up = plane(9)
 
     n_idx = jax.lax.broadcasted_iota(jnp.int32, (G, Lb_p), 1).astype(jnp.float32)
     anchor = srot_ref[0, 0] * 0.0          # (8, Lb_p) concrete layout
@@ -83,7 +89,9 @@ def _kernel(prm_ref, srot_ref, out_ref):
         H2, H1, F1, G1, lastrow, best_col = carry
         df = jnp.float32(d)
         m_vec = df - n_idx
-        valid = (m_vec >= 0) & (m_vec < la) & lane_lt_lb
+        r_vec = n_idx - m_vec
+        valid = ((m_vec >= 0) & (m_vec < la) & lane_lt_lb
+                 & (r_vec >= lw) & (r_vec <= up))
         s_row = srot_ref[0, d & (La_p - 1)]
 
         # lane-0 fills: H1s/F1s feed F0, whose lane 0 must not read the
@@ -155,12 +163,12 @@ def _prepare_and_launch(a_batch, b_batch, prm, mtx, *, la_pad, lb_pad, dim):
 
 @functools.partial(jax.jit, static_argnames=("la_pad", "lb_pad"))
 def _launch(S, prm, *, la_pad, lb_pad):
-    """S: (BG, la_pad, 8, lb_pad) pre-skewed; prm: (BG, 8, 8, 128)."""
+    """S: (BG, la_pad, 8, lb_pad) pre-skewed; prm: (BG, NPLANE, 8, 128)."""
     BG = S.shape[0]
     grid_spec = pl.GridSpec(
         grid=(BG,),
         in_specs=[
-            pl.BlockSpec((1, 8, 8, 128), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, NPLANE, 8, 128), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, la_pad, GROUP, lb_pad),
                          lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -196,11 +204,12 @@ def _skew(S, *, la_pad):
 
 def pallas_pairwise_scores(a_batch, b_batch, la, lb, mtx,
                            u: float, v: float, tgapf: float = 1.0,
-                           exg=None):
-    """Batched full-rectangle wavefront scores via the Pallas kernel.
+                           exg=None, lw=None, up=None):
+    """Batched (optionally banded) wavefront scores via the Pallas kernel.
 
     a_batch (B, Ma) / b_batch (B, Mb) int32 codes (0-padded), la/lb (B,)
-    actual lengths.  Returns (B,) f32 scores.
+    actual lengths; lw/up (B,) band diagonals (default: full rectangle).
+    Returns (B,) f32 scores.
     """
     B, Ma = a_batch.shape
     Mb = b_batch.shape[1]
@@ -209,19 +218,23 @@ def pallas_pairwise_scores(a_batch, b_batch, la, lb, mtx,
     dim = mtx.shape[0]
     la = np.asarray(la)
     lb = np.asarray(lb)
+    lw = -la if lw is None else np.asarray(lw)
+    up = lb if up is None else np.asarray(up)
     pad_b = (-B) % GROUP
     if pad_b:
         a_batch = np.pad(a_batch, ((0, pad_b), (0, 0)))
         b_batch = np.pad(b_batch, ((0, pad_b), (0, 0)))
         la = np.pad(la, (0, pad_b), constant_values=1)
         lb = np.pad(lb, (0, pad_b), constant_values=1)
+        lw = np.pad(lw, (0, pad_b), constant_values=-1)
+        up = np.pad(up, (0, pad_b), constant_values=1)
         if exg is not None:
             exg = np.pad(exg, ((0, pad_b), (0, 0)))
     Bp = B + pad_b
 
     if exg is None:
         exg = np.zeros((Bp, 4), bool)
-    planes = np.zeros((Bp, 8), np.float32)
+    planes = np.zeros((Bp, NPLANE), np.float32)
     planes[:, 0] = la
     planes[:, 1] = lb
     planes[:, 2] = u
@@ -230,10 +243,12 @@ def pallas_pairwise_scores(a_batch, b_batch, la, lb, mtx,
     planes[:, 5] = np.where(exg[:, 2], 0.0, tgapf)   # fb_l
     planes[:, 6] = np.where(exg[:, 1], 0.0, tgapf)   # fa_r
     planes[:, 7] = np.where(exg[:, 3], 0.0, tgapf)   # fb_r
-    # (BG, 8 params, 8 pairs, 128 lanes)
+    planes[:, 8] = lw
+    planes[:, 9] = up
+    # (BG, NPLANE params, 8 pairs, 128 lanes)
     prm = np.broadcast_to(
-        planes.reshape(Bp // GROUP, GROUP, 8, 1).transpose(0, 2, 1, 3),
-        (Bp // GROUP, 8, GROUP, 128)).copy()
+        planes.reshape(Bp // GROUP, GROUP, NPLANE, 1).transpose(0, 2, 1, 3),
+        (Bp // GROUP, NPLANE, GROUP, 128)).copy()
 
     out = _prepare_and_launch(a_batch, b_batch, prm, mtx,
                               la_pad=la_pad, lb_pad=lb_pad, dim=dim)
