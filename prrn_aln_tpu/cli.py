@@ -90,6 +90,10 @@ def prrn_main(argv=None) -> int:
                    help="color intron positions (ANSI escapes)")
     p.add_argument("-yJ", type=float, default=None,
                    help="intron-position match bonus (default 20)")
+    p.add_argument("-r", type=int, default=1, metavar="N",
+                   help="best-of-N speculative refinement fan-out "
+                        "(reference -r#, prrn5.cc:594-631; batched on "
+                        "device instead of per-partition threads)")
     args = p.parse_args(argv)
 
     if args.b:
@@ -131,11 +135,11 @@ def prrn_main(argv=None) -> int:
         from .pipeline import update_msa
         groups = [io.records_to_msa(recs, molc) for recs in per_file]
         msa = update_msa(groups, params=params, molc=molc, maxitr=args.S,
-                         randseed=args.R, refine=args.U)
+                         randseed=args.R, refine=args.U, nbatch=args.r)
     else:
         msa = build_msa(records, params=params, molc=molc, maxitr=args.S,
                         randseed=args.R, refine=args.I > 0,
-                        local_thr=args.YH)
+                        local_thr=args.YH, nbatch=args.r)
     _emit(msa, args)
     return 0
 

@@ -150,7 +150,8 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
                crand: GlibcRand | None = None,
                accept_ties: bool = True,
                tree_data=None, col_range=None,
-               nbatch: int = 1, spb: float = 20.0) -> RefineResult:
+               nbatch: int = 1, spb: float = 20.0,
+               mesh=None) -> RefineResult:
     """One Prrn pass over a flat MSA (every sequence its own group).
 
     ``tree_data`` = (tree, vol, cur, leaf_vol) reuses a precomputed guide
@@ -308,7 +309,7 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
             from ..ops.group import group_align_batch
             results = group_align_batch(
                 [(c["A"], c["B"]) for c in cands], mtx, u=u, v=v, sh=sh,
-                pads=pads, spb=spb)
+                pads=pads, spb=spb, mesh=mesh)
             scored = []
             for c, (s_new, skl_new) in zip(cands, results):
                 acc, delta = evaluate(c, s_new, skl_new)
@@ -382,7 +383,8 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
 def refine_with_consreg(msa: Msa, mtx: np.ndarray, u: float, v: float,
                         sh: int, maxitr: int = 10, randseed: int = 1,
                         crand: GlibcRand | None = None,
-                        spb: float = 20.0) -> RefineResult:
+                        spb: float = 20.0, nbatch: int = 1,
+                        mesh=None) -> RefineResult:
     """preprrn with conserved-region segmentation (prrn5.cc:786-839):
     one global tree/weighting, then per-attack-range Prrn passes, walked
     from the last range to the first so indices stay valid."""
@@ -406,7 +408,8 @@ def refine_with_consreg(msa: Msa, mtx: np.ndarray, u: float, v: float,
         res = refine_msa(work, mtx, u=u, v=v, sh=sh, maxitr=maxitr,
                          randseed=randseed, crand=crand,
                          tree_data=(t, vol, cur, leaf_vol),
-                         col_range=(lo, hi), spb=spb)
+                         col_range=(lo, hi), spb=spb, nbatch=nbatch,
+                         mesh=mesh)
         work = res.msa
         improvements += res.improvements
         iterations += res.iterations

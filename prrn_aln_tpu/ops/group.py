@@ -31,6 +31,10 @@ NEVSEL = -1.0e30
 # H dir codes (match group_np)
 D_DEAD, D_DIAG, D_VERT, D_HORI = 0, 1, 2, 3
 
+# output sharding of the last group_align_batch launch (introspection
+# for multi-device tests / the driver dryrun)
+LAST_BATCH_SHARDING = None
+
 
 def _bucket(x: int, q: int = 64) -> int:
     return ((x + q - 1) // q) * q
@@ -256,9 +260,17 @@ def _bonus_images(A: Msa, B: Msa, la_max: int, lb_max: int, spb: float,
     return BD, B0
 
 
+def skl_in_band(skl, lw: int, up: int) -> bool:
+    """True iff every cell of the path lies inside the stripe.  Segment
+    interiors stay between their endpoint diagonals, so endpoint checks
+    suffice."""
+    return all(lw <= n - m <= up for m, n in skl)
+
+
 def group_align(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
                 wdw: Window | None = None, scale: float = 1.0,
-                pads: tuple[int, int] | None = None, spb: float = 0.0):
+                pads: tuple[int, int] | None = None, spb: float = 0.0,
+                _retried: bool = False):
     """Align two prepared groups with the JAX wavefront kernel.
     Returns (score, skl).
 
@@ -266,6 +278,11 @@ def group_align(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
     zero-weight phantom members) and length buckets to fixed values so
     repeated calls in a progressive/refinement session reuse one compiled
     executable.
+
+    A path that escapes the stripe or a score that never left the
+    sentinel means the band was too narrow; like the reference's
+    corner-miss recovery (maln2.cc:1944-1952, sh := -100) the alignment
+    is retried once with a full-width band.
     """
     La, Lb = A.length, B.length
     an, bn = A.many, B.many
@@ -334,6 +351,11 @@ def group_align(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
         la_max=la_max, lb_max=lb_max)
     skl = _traceback_wave(np.asarray(dirs), np.asarray(opens),
                           La, Lb, lw)
+    if not _retried and (float(score) <= NEVSEL / 2
+                         or not skl_in_band(skl, lw, up)):
+        wide = stripe(La, Lb, -100)
+        return group_align(A, B, mtx, u, v, wdw=wide, scale=scale,
+                           pads=pads, spb=spb, _retried=True)
     return float(score), skl
 
 
@@ -394,13 +416,17 @@ def _traceback_wave(dirs: np.ndarray, opens: np.ndarray, La: int, Lb: int,
 
 
 def group_align_batch(pairs, mtx, u: float, v: float, sh: int,
-                      pads: tuple[int, int], spb: float = 0.0):
+                      pads: tuple[int, int], spb: float = 0.0,
+                      scale: float = 1.0, mesh=None):
     """Score+traceback a batch of group pairs in one launch.
 
     ``pairs`` = list of (A, B) prepared Msa pairs, padded to common
     shapes via ``pads`` (member_pad, length_pad).  The speculative
     best-of-n refinement fan-out (SURVEY P3) collapses into this batch
-    axis.  Returns list of (score, skl).
+    axis.  When ``mesh`` is given, the batch axis is sharded over the
+    mesh's first axis (each device fills its shard of candidates — the
+    TPU replacement for the reference's per-partition pthread fan-out,
+    prrn5.cc:594-631).  Returns list of (score, skl).
     """
     if not pairs:
         return []
@@ -412,26 +438,46 @@ def group_align_batch(pairs, mtx, u: float, v: float, sh: int,
     nslot = _bucket(max(w.up - w.lw + 3 for w in wdws), 128)
     nsteps = _bucket(max(A.length + B.length + 1 for A, B in pairs), 256)
 
+    nreal = len(pairs)
+    pad_n = 0
+    if mesh is not None:
+        ndev = int(mesh.devices.size)
+        pad_n = (-nreal) % ndev
     ins = []
     for (A, B), w in zip(pairs, wdws):
         ins.append(_pack_inputs(A, B, mtx, u, v, w, an_pad, la_max, lb_max,
-                                spb=spb))
+                                spb=spb, scale=scale))
+    ins.extend([ins[0]] * pad_n)
     batched = [jnp.stack([x[k] for x in ins]) for k in range(len(ins[0]))]
-    vm = jax.vmap(
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+        batched = [jax.device_put(x, shard) for x in batched]
+    vm = jax.jit(jax.vmap(
         lambda *args: _wavefront_group(
             *args, nslot=nslot, nsteps=nsteps, an=an_pad, bn=an_pad,
-            la_max=la_max, lb_max=lb_max))
+            la_max=la_max, lb_max=lb_max)))
     score, dirs, opens = vm(*batched)
+    global LAST_BATCH_SHARDING
+    LAST_BATCH_SHARDING = getattr(dirs, "sharding", None)
     out = []
     for k, ((A, B), w) in enumerate(zip(pairs, wdws)):
         skl = _traceback_wave(np.asarray(dirs[k]), np.asarray(opens[k]),
                               A.length, B.length, w.lw)
-        out.append((float(score[k]), skl))
+        if (float(score[k]) <= NEVSEL / 2
+                or not skl_in_band(skl, w.lw, w.up)):
+            # corner-miss recovery (maln2.cc:1944-1952): redo this item
+            # alone with a full-width band
+            wide = stripe(A.length, B.length, -100)
+            out.append(group_align(A, B, mtx, u, v, wdw=wide, scale=scale,
+                                   pads=pads, spb=spb, _retried=True))
+        else:
+            out.append((float(score[k]), skl))
     return out
 
 
 def _pack_inputs(A: Msa, B: Msa, mtx, u, v, wdw, an_pad, la_max, lb_max,
-                 spb: float = 0.0):
+                 spb: float = 0.0, scale: float = 1.0):
     """Build the _wavefront_group argument tuple for one pair."""
     La, Lb = A.length, B.length
     an, bn = A.many, B.many
@@ -439,7 +485,7 @@ def _pack_inputs(A: Msa, B: Msa, mtx, u, v, wdw, an_pad, la_max, lb_max,
     S[:La, :Lb] = np.einsum(
         "mc,cd,nd->mn", A.freq.astype(np.float64), mtx.astype(np.float64),
         B.freq.astype(np.float64)).astype(np.float32)
-    BD, B0 = _bonus_images(A, B, la_max, lb_max, spb)
+    BD, B0 = _bonus_images(A, B, la_max, lb_max, spb, scale)
     if BD is not None:
         S[:La, :Lb] += BD
     na_a, gda, pga = _col_arrays(A)
@@ -473,4 +519,4 @@ def _pack_inputs(A: Msa, B: Msa, mtx, u, v, wdw, an_pad, la_max, lb_max,
     return (S, B0, na_a, gda, pga, na_b, gdb, pgb, cfa, efa, cfb, efb,
             wa, wb,
             np.int32(La), np.int32(Lb), np.int32(wdw.lw), np.int32(wdw.up),
-            np.float32(u), np.float32(-v))
+            np.float32(u), np.float32(-scale * v))

@@ -8,18 +8,19 @@ Gather-free layout:
    anti-diagonal m + n == c (mod rows).
 2. Pairs are packed 8 to a group along the sublane axis: the kernel's
    state is (8, Lb) — one full f32 vreg row per op — and every step is
-   pure VPU work: lane shifts, maxima, adds.  The per-step diagonal row
-   for all 8 pairs is one contiguous (8, Lb) VMEM read.
+   pure VPU work: lane shifts, maxima, adds.
+3. The wavefront step is a Pallas **grid dimension**: the per-step
+   diagonal row is a (1, 1, 8, Lb) block whose DMA Mosaic
+   double-buffers, and the DP state lives in VMEM scratch that persists
+   across grid steps (reference wavefront: src/fwd2d1.cc:136-189).
 
-Boundary conditions and terminal-gap discounting reproduce the banded
-wavefront scorer exactly for a band covering the full rectangle
-(ops/pairwise.py with lw=-la, up=+lb); validated against it in tests.
+Boundary conditions, banding (stripe of src/aln2.cc:156-174) and
+terminal-gap discounting reproduce the banded wavefront scorer exactly
+(ops/pairwise.py); validated against it in tests and in bench.py.
 
-Perf notes (v5e): ~15 VPU ops per 2 slot-lanes (50% anti-diagonal
-utilization on square problems) bounds this formulation near ~30 GCUPS
-f32 per core.  Roadmap to the TCUPS regime: int16/int8 state (2-4x
-lanes), banded tiling to cut the sweep waste, and two-pair wavefront
-packing.  See PERF.md.
+Perf notes (v5e): see PERF.md — the f32 VPU roofline for this
+formulation is ~50-100 GCUPS/chip; roadmap items are banded tiling,
+rectangle packing, and int16 state.
 """
 
 from __future__ import annotations
@@ -44,14 +45,28 @@ def _pow2(x: int) -> int:
     return p
 
 
-def _kernel(prm_ref, srot_ref, out_ref):
-    """One 8-pair group.  srot_ref block: (1, La_p, 8, Lb_p) skewed
-    scores; prm_ref block: (1, NPLANE, 8, 128) parameter planes [la, lb,
-    u, v, fa_l, fb_l, fa_r, fb_r, lw, up] broadcast over lanes; out_ref:
+def _kernel(prm_ref, srot_ref, out_ref,
+            h2_ref, h1_ref, f1_ref, g1_ref, last_ref, bc_ref,
+            *, T, K, La_p, Lb_p):
+    """Grid step d of one 8-pair group: K unrolled wavefront sub-steps.
+
+    srot_ref block: (1, K, 8, Lb_p) — the skewed score rows for
+    anti-diagonals d*K .. d*K+K-1 (rows mod La_p of the skewed image);
+    prm_ref block: (1, NPLANE, 8, 128) parameter planes [la, lb, u, v,
+    fa_l, fb_l, fa_r, fb_r, lw, up] broadcast over lanes; out_ref:
     (1, 8, 128).  lw/up restrict cells to the diagonal band
     lw <= n - m <= up (reference stripe, src/aln2.cc:156-174); a
-    full-rectangle run passes lw = -la, up = +lb."""
-    _, La_p, G, Lb_p = srot_ref.shape
+    full-rectangle run passes lw = -la, up = +lb.  Scratch refs
+    (8, Lb_p) hold the two trailing H diagonals, F/G lanes, the
+    captured last row, and the running last-column terminal
+    candidates; DP state stays in registers across the K sub-steps.
+
+    Sub-steps with d_abs >= T (block padding) write all-NEVSEL state but
+    cannot corrupt last_ref/bc_ref: their capture lanes fall outside
+    [0, lb) there.
+    """
+    d = pl.program_id(1)
+    G = GROUP
 
     def plane(k):
         return prm_ref[0, k, :, 0:1]       # (8, 1), broadcasts over lanes
@@ -67,50 +82,62 @@ def _kernel(prm_ref, srot_ref, out_ref):
     lw = plane(8)
     up = plane(9)
 
-    n_idx = jax.lax.broadcasted_iota(jnp.int32, (G, Lb_p), 1).astype(jnp.float32)
-    anchor = srot_ref[0, 0] * 0.0          # (8, Lb_p) concrete layout
-    neg = anchor + NEVSEL
+    n_idx = jax.lax.broadcasted_iota(
+        jnp.int32, (G, Lb_p), 1).astype(jnp.float32)
+    neg = n_idx * 0.0 + NEVSEL             # concrete (8, Lb_p) layout
 
-    # boundary top-row values Ta(n) (0 at n==0) and Ta(n+1)
-    Ta = jnp.where(n_idx == 0, 0.0, -(v + n_idx * u) * fa_l)
-    Tav = -(v + (n_idx + 1.0) * u) * fa_l
+    @pl.when(d == 0)
+    def _init():
+        h2_ref[...] = neg
+        h1_ref[...] = neg
+        f1_ref[...] = neg
+        g1_ref[...] = neg
+        last_ref[...] = neg
+        bc_ref[...] = neg
 
     lane0 = n_idx == 0
-    lane_lt_lb = n_idx < lb
-    lastcol = n_idx == lb - 1.0
+    # boundary top-row values Ta(n) (0 at n==0) and Ta(n+1)
+    Ta = jnp.where(lane0, 0.0, -(v + n_idx * u) * fa_l)
+    Tav = -(v + (n_idx + 1.0) * u) * fa_l
+    half = jnp.float32(0.5)
 
-    def shift1(x, fill):
-        r = pltpu.roll(x, 1, axis=1)
-        return jnp.where(lane0, fill, r)
+    H2 = h2_ref[...]
+    H1 = h1_ref[...]
+    F1 = f1_ref[...]
+    G1 = g1_ref[...]
+    lastrow = last_ref[...]
+    best_col = bc_ref[...]
 
-    T = La_p + Lb_p - 1
-
-    def step(d, carry):
-        H2, H1, F1, G1, lastrow, best_col = carry
-        df = jnp.float32(d)
+    d0f = (d * K).astype(jnp.float32)
+    for j in range(K):
+        df = d0f + j
+        s_row = srot_ref[0, j]
         m_vec = df - n_idx
-        r_vec = n_idx - m_vec
-        valid = ((m_vec >= 0) & (m_vec < la) & lane_lt_lb
-                 & (r_vec >= lw) & (r_vec <= up))
-        s_row = srot_ref[0, d & (La_p - 1)]
+        # valid lanes form the interval lo <= n <= hi:
+        #   m in [0, la) ∩ n in [0, lb) ∩ lw <= n - m <= up
+        lo = jnp.maximum(jnp.ceil((df + lw) * half), df - la + 1.0)
+        hi = jnp.minimum(jnp.floor((df + up) * half),
+                         jnp.minimum(df, lb - 1.0))
+        valid = (n_idx >= lo) & (n_idx <= hi)
 
         # lane-0 fills: H1s/F1s feed F0, whose lane 0 must not read the
         # wrapped tail; H2s lane 0 is never read (diag_pred selects the
         # left-column boundary there), so its roll needs no fill
-        H1s = shift1(H1, NEVSEL)
-        F1s = shift1(F1, NEVSEL)
+        H1s = jnp.where(lane0, NEVSEL, pltpu.roll(H1, 1, axis=1))
+        F1s = jnp.where(lane0, NEVSEL, pltpu.roll(F1, 1, axis=1))
         H2s = pltpu.roll(H2, 1, axis=1)
 
+        top = m_vec == 0
         tb_d = -(v + df * u) * fb_l        # left-column boundary, d > 0
-        diag_pred = jnp.where(m_vec == 0, Ta,
+        diag_pred = jnp.where(top, Ta,
                               jnp.where(lane0,
                                         jnp.where(df == 0.0, 0.0, tb_d),
                                         H2s))
 
         F0 = jnp.maximum(H1s - v, F1s) - u
 
-        vpH = jnp.where(m_vec == 0, Tav, H1)
-        vpG = jnp.where(m_vec == 0, neg, G1)
+        vpH = jnp.where(top, Tav, H1)
+        vpG = jnp.where(top, NEVSEL, G1)
         G0 = jnp.maximum(vpH - v, vpG) - u
 
         H0 = jnp.maximum(jnp.maximum(diag_pred + s_row, F0), G0)
@@ -121,27 +148,33 @@ def _kernel(prm_ref, srot_ref, out_ref):
         # last-column terminal candidates (trailing gap in b):
         #   H(m, lb-1) - (v + (la-1-m) u) * fb_r
         kf = la - 1.0 - m_vec
-        cand = jnp.where(lastcol & valid & (kf > 0),
+        cand = jnp.where((n_idx == lb - 1.0) & (kf > 0),
                          H0 - (v + kf * u) * fb_r, neg)
-        # defer the cross-lane reduction: accumulate elementwise and
-        # reduce once after the sweep
         best_col = jnp.maximum(best_col, cand)
-        return (H1, H0, F0, G0, lastrow, best_col)
 
-    init = (neg, neg, neg, neg, neg, neg)
-    H2, H1, F1, G1, lastrow, best_col = jax.lax.fori_loop(
-        0, T, step, init)
-    best_col = jnp.max(best_col, axis=1, keepdims=True)
+        H2, H1, F1, G1 = H1, H0, F0, G0
 
-    corner = jnp.max(jnp.where(n_idx == lb - 1.0, lastrow, neg),
-                     axis=1, keepdims=True)
-    kfb = lb - 1.0 - n_idx
-    cand_row = jnp.where(kfb > 0, lastrow - (v + kfb * u) * fa_r, neg)
-    best_row = jnp.max(cand_row, axis=1, keepdims=True)
-    score = corner
-    score = jnp.where(fa_r < 1.0, jnp.maximum(score, best_row), score)
-    score = jnp.where(fb_r < 1.0, jnp.maximum(score, best_col), score)
-    out_ref[0, :, :] = jnp.broadcast_to(score, (G, 128))
+    h2_ref[...] = H2
+    h1_ref[...] = H1
+    f1_ref[...] = F1
+    g1_ref[...] = G1
+    last_ref[...] = lastrow
+    bc_ref[...] = best_col
+
+    nblocks = (T + K - 1) // K
+    @pl.when(d == nblocks - 1)
+    def _finish():
+        best_colr = jnp.max(best_col, axis=1, keepdims=True)
+        corner = jnp.max(jnp.where(n_idx == lb - 1.0, lastrow, NEVSEL),
+                         axis=1, keepdims=True)
+        kfb = lb - 1.0 - n_idx
+        cand_row = jnp.where(kfb > 0, lastrow - (v + kfb * u) * fa_r,
+                             NEVSEL)
+        best_row = jnp.max(cand_row, axis=1, keepdims=True)
+        score = corner
+        score = jnp.where(fa_r < 1.0, jnp.maximum(score, best_row), score)
+        score = jnp.where(fb_r < 1.0, jnp.maximum(score, best_colr), score)
+        out_ref[0, :, :] = jnp.broadcast_to(score, (G, 128))
 
 
 @functools.partial(jax.jit, static_argnames=("la_pad", "lb_pad", "dim"))
@@ -165,25 +198,27 @@ def _prepare_and_launch(a_batch, b_batch, prm, mtx, *, la_pad, lb_pad, dim):
 def _launch(S, prm, *, la_pad, lb_pad):
     """S: (BG, la_pad, 8, lb_pad) pre-skewed; prm: (BG, NPLANE, 8, 128)."""
     BG = S.shape[0]
-    grid_spec = pl.GridSpec(
-        grid=(BG,),
-        in_specs=[
-            pl.BlockSpec((1, NPLANE, 8, 128), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, la_pad, GROUP, lb_pad),
-                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, GROUP, 128), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-
-    def kern(prm_ref, s_ref, out_ref):
-        _kernel(prm_ref, s_ref, out_ref)
+    T = la_pad + lb_pad - 1
+    K = min(8, la_pad)                     # unrolled sub-steps per grid step
+    nblocks = (T + K - 1) // K
+    row_blocks = la_pad // K               # skewed image wraps mod la_pad
+    kern = functools.partial(_kernel, T=T, K=K, La_p=la_pad, Lb_p=lb_pad)
 
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((BG, GROUP, 128), jnp.float32),
-        grid_spec=grid_spec,
+        grid=(BG, nblocks),
+        in_specs=[
+            pl.BlockSpec((1, NPLANE, 8, 128), lambda b, d: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, GROUP, lb_pad),
+                         lambda b, d: (b, d % row_blocks, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, GROUP, 128), lambda b, d: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((GROUP, lb_pad), jnp.float32)
+                        for _ in range(6)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(prm, S)

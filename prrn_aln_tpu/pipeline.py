@@ -23,7 +23,8 @@ from .utils.crand import GlibcRand
 def build_msa(records: list[SeqRecord], params: AlnParams | None = None,
               molc: int | None = None, maxitr: int = 10,
               randseed: int = 1, refine: bool = True,
-              local_thr: float = 35.0, mesh=None) -> Msa:
+              local_thr: float = 35.0, mesh=None,
+              nbatch: int = 1) -> Msa:
     if molc is None:
         molc = ab.infer_molc(records[0].seq)
     if params is None:
@@ -41,7 +42,7 @@ def build_msa(records: list[SeqRecord], params: AlnParams | None = None,
     if len(seqs) >= 16:        # sl-forest scale-out (prrn5 min_seqs)
         return build_msa_denovo_large(records, params, molc, maxitr=maxitr,
                                       randseed=randseed, refine=refine,
-                                      mesh=mesh)
+                                      mesh=mesh, nbatch=nbatch)
 
     d = distance.distance_matrix(seqs, mtx, u=params.u, v=params.v,
                                  sh=params.sh, mesh=mesh)
@@ -58,11 +59,12 @@ def build_msa(records: list[SeqRecord], params: AlnParams | None = None,
             res = refine_with_consreg(msa, mtx, u=params.u, v=params.v,
                                       sh=params.sh, maxitr=maxitr,
                                       randseed=randseed, crand=crand,
-                                      spb=params.spb)
+                                      spb=params.spb, nbatch=nbatch,
+                                      mesh=mesh)
         else:
             res = refine_msa(msa, mtx, u=params.u, v=params.v, sh=params.sh,
                              maxitr=maxitr, randseed=randseed, crand=crand,
-                             spb=params.spb)
+                             spb=params.spb, nbatch=nbatch, mesh=mesh)
         msa = res.msa
     return msa
 
@@ -109,7 +111,7 @@ def cut_in(mom: Msa, dau: Msa, mtx, params: AlnParams) -> Msa:
 
 def update_msa(groups: list[Msa], params: AlnParams | None = None,
                molc: int | None = None, maxitr: int = 10, randseed: int = 1,
-               refine: bool = False) -> Msa:
+               refine: bool = False, nbatch: int = 1, mesh=None) -> Msa:
     """Combine pre-aligned host MSAs and single-sequence guests
     (prrn5.cc:1529-1605 update_prrn): hosts merged by group alignment,
     guests cut in one by one, optional flat refinement."""
@@ -143,7 +145,7 @@ def update_msa(groups: list[Msa], params: AlnParams | None = None,
         msd.weight = None
         res = refine_msa(msd, mtx, u=params.u, v=params.v, sh=params.sh,
                          maxitr=maxitr, randseed=randseed,
-                         crand=GlibcRand(1))
+                         crand=GlibcRand(1), nbatch=nbatch, mesh=mesh)
         msd = res.msa
     return msd
 
@@ -189,7 +191,8 @@ def build_msa_guided(treefile: str, params: AlnParams | None = None,
 def build_msa_denovo_large(records, params: AlnParams, molc: int,
                            maxitr: int = 10, randseed: int = 1,
                            refine: bool = True, m_nearest: int = 8,
-                           max_memb: int = 2 ** 31 - 1, mesh=None) -> Msa:
+                           max_memb: int = 2 ** 31 - 1, mesh=None,
+                           nbatch: int = 1) -> Msa:
     """De-novo MSA for many sequences via the single-linkage forest
     (reference de_novo_prrn, prrn5.cc:1300-1332 + SlfPrrn::make_msa
     :1174-1260): sparse k-mer-filtered DP distance graph, Kruskal forest,
@@ -218,7 +221,8 @@ def build_msa_denovo_large(records, params: AlnParams, molc: int,
                             sh=params.sh)
         if refine and m.many > 2:
             res = refine_msa(m, mtx, u=params.u, v=params.v, sh=params.sh,
-                             maxitr=maxitr, randseed=randseed, crand=crand)
+                             maxitr=maxitr, randseed=randseed, crand=crand,
+                             nbatch=nbatch, mesh=mesh)
             m = res.msa
         sub_msas.append(m)
 
@@ -236,6 +240,7 @@ def build_msa_denovo_large(records, params: AlnParams, molc: int,
     if refine and msd.many > 2 and (len(sub_msas) > 1 or singles):
         msd.weight = None
         res = refine_msa(msd, mtx, u=params.u, v=params.v, sh=params.sh,
-                         maxitr=maxitr, randseed=randseed, crand=crand)
+                         maxitr=maxitr, randseed=randseed, crand=crand,
+                         nbatch=nbatch, mesh=mesh)
         msd = res.msa
     return msd
