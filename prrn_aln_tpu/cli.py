@@ -94,6 +94,11 @@ def prrn_main(argv=None) -> int:
                    help="best-of-N speculative refinement fan-out "
                         "(reference -r#, prrn5.cc:594-631; batched on "
                         "device instead of per-partition threads)")
+    p.add_argument("-G", default=None, metavar="GROUPS",
+                   help="member grouping, e.g. '1 2/3-5/6' (groups "
+                        "separated by /, 1-based indices and a-b ranges; "
+                        "reference Subset, sets.h:27-45); refinement "
+                        "bipartitions never split a group")
     args = p.parse_args(argv)
 
     if args.b:
@@ -131,7 +136,18 @@ def prrn_main(argv=None) -> int:
                 and any("-" in r.seq for r in recs))
 
     hosts_present = any(is_aligned(recs) for recs in per_file)
-    if hosts_present:
+    if args.G:
+        # grouped refinement of one pre-aligned input (prrn5 -G)
+        from .msa.sets import Subset
+        from .msa.refine import refine_msa
+        msa = io.records_to_msa(records, molc)
+        ss = Subset.from_string(msa.many, args.G)
+        mtx, _ = scoring.build_matrix(molc, params)
+        res = refine_msa(msa, mtx, u=params.u, v=params.v, sh=params.sh,
+                         maxitr=args.S, randseed=args.R, nbatch=args.r,
+                         spb=params.spb, subset=ss)
+        msa = res.msa
+    elif hosts_present:
         from .pipeline import update_msa
         groups = [io.records_to_msa(recs, molc) for recs in per_file]
         msa = update_msa(groups, params=params, molc=molc, maxitr=args.S,
@@ -531,7 +547,7 @@ def rdn_main(argv=None) -> int:
     p.add_argument("-c", action="store_true", help="delete common gaps")
     p.add_argument("-j", choices=["l", "r"], default=None, help="justify")
     p.add_argument("-F", choices=["native", "fasta", "clustal", "phylip",
-                                  "msf", "gde"], default="fasta")
+                                  "msf", "gde", "nexus"], default="fasta")
     p.add_argument("-o", default=None)
     args = p.parse_args(argv)
 
@@ -554,7 +570,8 @@ def rdn_main(argv=None) -> int:
 def _out_any(msa, fmt, path):
     writer = {"fasta": io.write_fasta, "clustal": io.write_clustal,
               "phylip": io.write_phylip, "msf": io.write_msf,
-              "gde": io.write_gde, "native": io.write_native_block}[fmt]
+              "gde": io.write_gde, "nexus": io.write_nexus,
+              "native": io.write_native_block}[fmt]
     text = writer(msa)
     if path:
         from pathlib import Path

@@ -128,23 +128,55 @@ def read_native(path: str | Path) -> list[SeqRecord]:
     return recs
 
 
+def _sniff_body(line: str):
+    """Map a record's first line to its reader (reference whichdb over
+    the SeqDb descriptor table, dbs.cc; seq_NandL seq.h:453-505)."""
+    if line.startswith(">"):
+        return read_fasta
+    if line.startswith("LOCUS"):
+        return read_genbank
+    if line.startswith("ID"):
+        return read_embl
+    if line.startswith("ENTRY"):
+        return read_pir
+    if line.startswith(("#", "%")):
+        return read_gde
+    if "MSF:" in line or line.startswith("!!"):
+        return read_msf
+    return None
+
+
 def sniff_and_read(path: str | Path) -> list[SeqRecord]:
-    first = ""
+    lines = []
     with open(path) as f:
         for line in f:
             if line.strip():
-                first = line
+                lines.append(line)
+            if len(lines) >= 2:
                 break
-    if first.startswith(">"):
-        return read_fasta(path)
-    if first.startswith("LOCUS"):
-        return read_genbank(path)
-    if first.startswith("ID"):
-        return read_embl(path)
+    if not lines:
+        return []
+    first = lines[0]
+    rd = _sniff_body(first)
+    if rd is not None:
+        return rd(path)
     toks = first.split()
     if len(toks) >= 2 and toks[0].isdigit() and toks[1].isdigit():
+        # `num len [name]` header (seq_NandL, seq.h:462-470): the body
+        # may be native interleaved/serial or a foreign format repeated
+        # num times (e.g. sample/pas/GDE_A = header + GenBank entries).
+        body = _sniff_body(lines[1]) if len(lines) > 1 else None
+        if body is not None and body is not read_fasta:
+            text = Path(path).read_text()
+            rest = text.split("\n", 1)[1] if "\n" in text else ""
+            import tempfile
+            with tempfile.NamedTemporaryFile("w", suffix=".seq",
+                                             delete=False) as tf:
+                tf.write(rest)
+            return body(tf.name)
         return read_native(path)
-    return read_fasta(path)
+    # no recognizable header at all: bare sequence (seq.h:505 single)
+    return read_bare(path)
 
 
 def records_to_msa(recs: list[SeqRecord], molc: int | None = None) -> Msa:
@@ -324,6 +356,97 @@ def read_embl(path: str | Path) -> list[SeqRecord]:
     return recs
 
 
+def read_pir(path: str | Path) -> list[SeqRecord]:
+    """PIR/CODATA reader (ENTRY ... SEQUENCE ... ///; reference SeqDb
+    PIR descriptor, sample/pas/Codata).  Also accepts the ``>P1;name``
+    NBRF variant."""
+    text = Path(path).read_text()
+    recs: list[SeqRecord] = []
+    if text.lstrip().startswith(">"):          # NBRF: >P1;name / title / seq*
+        name, seq, skip_title = None, [], False
+        for line in text.splitlines():
+            if line.startswith(">"):
+                if name:
+                    recs.append(SeqRecord(name, "".join(seq).rstrip("*")))
+                name = line.split(";", 1)[-1].split()[0]
+                seq, skip_title = [], True
+            elif skip_title:
+                skip_title = False
+            elif name:
+                seq.append(re.sub(r"[\s\d]", "", line))
+        if name:
+            recs.append(SeqRecord(name, "".join(seq).rstrip("*")))
+        return recs
+    name, seq, in_seq = None, [], False
+    for line in text.splitlines():
+        if line.startswith("ENTRY"):
+            if name:
+                recs.append(SeqRecord(name, "".join(seq)))
+            name = line.split()[1] if len(line.split()) > 1 else "seq"
+            seq, in_seq = [], False
+        elif line.startswith("SEQUENCE"):
+            in_seq = True
+        elif line.startswith("///"):
+            in_seq = False
+        elif in_seq:
+            body = re.sub(r"[\s\d]", "", line)
+            # column-ruler lines ("5 10 15 ...") reduce to empty
+            seq.append(body)
+    if name:
+        recs.append(SeqRecord(name, "".join(seq)))
+    return recs
+
+
+def read_gde(path: str | Path) -> list[SeqRecord]:
+    """GDE flat-file reader: records start with ``#name`` (DNA) or
+    ``%name`` (protein) followed by sequence lines (reference SeqDb GDE
+    descriptor; mirror of write_gde)."""
+    recs: list[SeqRecord] = []
+    name, seq = None, []
+    for line in Path(path).read_text().splitlines():
+        if line.startswith(("#", "%")):
+            if name:
+                recs.append(SeqRecord(name, "".join(seq)))
+            name = line[1:].split()[0] if len(line) > 1 else "seq"
+            seq = []
+        elif name is not None:
+            seq.append(re.sub(r"[\s\d]", "", line))
+    if name:
+        recs.append(SeqRecord(name, "".join(seq)))
+    return recs
+
+
+def read_msf(path: str | Path) -> list[SeqRecord]:
+    """GCG MSF interleaved reader (reference get_msf_aln, seq.h:577)."""
+    lines = Path(path).read_text().splitlines()
+    order: list[str] = []
+    body: dict[str, list[str]] = {}
+    seen_sep = False
+    for line in lines:
+        if line.strip().startswith("//"):
+            seen_sep = True
+            continue
+        if not seen_sep:
+            m = re.search(r"Name:\s+(\S+)", line)
+            if m and m.group(1) not in body:
+                order.append(m.group(1))
+                body[m.group(1)] = []
+            continue
+        toks = line.split()
+        if toks and toks[0] in body:
+            body[toks[0]].append(re.sub(r"[\s\d]", "",
+                                        "".join(toks[1:])).replace(".", "-"))
+    return [SeqRecord(nm, "".join(body[nm])) for nm in order]
+
+
+def read_bare(path: str | Path) -> list[SeqRecord]:
+    """Bare sequence text with no header (sample/nas/Bare): the whole
+    file is one sequence; digits/whitespace stripped."""
+    seq = re.sub(r"[\s\d]", "", Path(path).read_text())
+    name = Path(path).name
+    return [SeqRecord(name, seq)] if seq else []
+
+
 def write_phylip(msa: Msa, path=None) -> str:
     rows = [decode_row(msa, i) for i in range(msa.many)]
     out = [f" {msa.many} {msa.length}"]
@@ -357,6 +480,25 @@ def write_msf(msa: Msa, path=None) -> str:
             blocks = " ".join(seg[i:i + 10] for i in range(0, len(seg), 10))
             out.append(f"{name:<{width}} {blocks}")
         out.append("")
+    text = "\n".join(out) + "\n"
+    if path:
+        Path(path).write_text(text)
+    return text
+
+
+def write_nexus(msa: Msa, path=None) -> str:
+    """NEXUS data block (reference NEXUS print mode, seq.h:100-103)."""
+    rows = [decode_row(msa, i) for i in range(msa.many)]
+    dt = "protein" if msa.molc == 1 else "dna"
+    width = max(len(n) for n in msa.names) + 2
+    out = ["#NEXUS", "", "begin data;",
+           f"  dimensions ntax={msa.many} nchar={msa.length};",
+           f"  format datatype={dt} gap=- interleave;", "  matrix"]
+    for start in range(0, msa.length, 60):
+        for name, row in zip(msa.names, rows):
+            out.append(f"  {name:<{width}}{row[start:start + 60]}")
+        out.append("")
+    out += ["  ;", "end;"]
     text = "\n".join(out) + "\n"
     if path:
         Path(path).write_text(text)

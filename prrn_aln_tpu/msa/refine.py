@@ -151,7 +151,7 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
                accept_ties: bool = True,
                tree_data=None, col_range=None,
                nbatch: int = 1, spb: float = 20.0,
-               mesh=None) -> RefineResult:
+               mesh=None, subset=None) -> RefineResult:
     """One Prrn pass over a flat MSA (every sequence its own group).
 
     ``tree_data`` = (tree, vol, cur, leaf_vol) reuses a precomputed guide
@@ -164,7 +164,26 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
     if crand is None:
         crand = GlibcRand(1)
 
-    if tree_data is None:
+    m2u = None
+    nu = n
+    if subset is not None and 2 < subset.num < n:
+        # -G grouping (Subset, sets.h:27-45): the tree and the randomized
+        # bipartitions run over units (member groups held intact), with
+        # unit-unit distances averaged over cross-group member pairs
+        nu = subset.num
+        from .distance import condensed_index
+        dc = msa_distance_matrix(msa.codes)
+        du = np.empty(nu * (nu - 1) // 2, np.float64)
+        for j in range(1, nu):
+            for i in range(j):
+                acc = [dc[condensed_index(min(a, b), max(a, b))]
+                       for a in subset.groups[i] for b in subset.groups[j]]
+                du[condensed_index(i, j)] = float(np.mean(acc))
+        t = upgma(du, nu)
+        pairwt, unit_vol, vol, cur = calc_pair_weights(t, full=True)
+        m2u = np.asarray(subset.member_to_group())
+        leaf_vol = unit_vol[m2u]
+    elif tree_data is None:
         # phyl_pwt: tree + weights from in-MSA divergences
         d = msa_distance_matrix(msa.codes)
         t = upgma(d, n)
@@ -185,7 +204,10 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
                   if full_eij is not None else None)
 
     parts = _tree_partitions(t)
-    cycle = 2 * n - 3
+    if m2u is not None:
+        parts = [[m for m in range(n) if int(m2u[m]) in set(p)]
+                 for p in parts]
+    cycle = 2 * nu - 3
     p = 0
     x = 1
     while x < cycle:
@@ -227,6 +249,8 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
         Returns None when the partition is skipped."""
         members = parts[rnbr]
         pwt, wfact = calcfact(t, vol, cur, rnbr)
+        if m2u is not None:
+            wfact = wfact[m2u]
         lst1 = members                      # bit==1 side (under node)
         lst0 = [k for k in range(n) if k not in set(members)]
         if len(lst0) < len(lst1):

@@ -20,6 +20,45 @@ def test_read_formats_from_reference_corpus():
         assert embl[0].name == "hm11b1" and len(embl[0].seq) == 2085
 
 
+def test_read_swiss_pir_gde_bare_corpus():
+    pas = Path("/root/reference/sample/pas")
+    if not pas.exists():
+        pytest.skip("reference corpus absent")
+    sw = io.sniff_and_read(pas / "Swiss")
+    assert sw[0].name == "ALB3_MAIZE" and len(sw[0].seq) == 303
+    pir = io.sniff_and_read(pas / "Codata")
+    assert pir[0].name == "S03172" and len(pir[0].seq) > 200
+    assert pir[0].seq.startswith("MAETNPELSDLMAQTNKKIVPKF")
+    # GDE_A = `num len name` header + GenBank-entry body (seq_NandL)
+    gde = io.sniff_and_read(pas / "GDE_A")
+    assert [r.name for r in gde] == ["ggewa3.p", "ggice7.p", "gglmf.pt"]
+    assert all(len(r.seq) == 162 for r in gde)
+    bare = io.sniff_and_read("/root/reference/sample/nas/Bare")
+    assert len(bare) == 1 and bare[0].seq.startswith("CTGGGCGTGGTGG")
+
+
+def test_msf_gde_nexus_roundtrip(tmp_path):
+    m = msa_from_strings(["MKVL-AAG", "MKVLWAAG"], ab.PROTEIN, ["s1", "s2"])
+    msf = tmp_path / "a.msf"
+    io.write_msf(m, msf)
+    back = io.read_msf(msf)
+    assert [r.name for r in back] == ["s1", "s2"]
+    assert back[0].seq == "MKVL-AAG"
+    gde = tmp_path / "a.gde"
+    io.write_gde(m, gde)
+    back = io.sniff_and_read(gde)
+    assert back[1].seq == "MKVLWAAG"
+    nx = io.write_nexus(m)
+    assert nx.startswith("#NEXUS") and "ntax=2 nchar=8" in nx
+
+
+def test_pir_nbrf_variant(tmp_path):
+    f = tmp_path / "x.pir"
+    f.write_text(">P1;HBA\nhemoglobin alpha\nMKVLW\nAAG*\n")
+    recs = io.read_pir(f)
+    assert recs[0].name == "HBA" and recs[0].seq == "MKVLWAAG"
+
+
 def test_fasta_exon_comments(tmp_path):
     f = tmp_path / "x.fa"
     f.write_text(">g1 test\n;C join(100..200,300..400)\nMKVL\nAAGF\n")
