@@ -99,13 +99,48 @@ def prrn_main(argv=None) -> int:
                         "separated by /, 1-based indices and a-b ranges; "
                         "reference Subset, sets.h:27-45); refinement "
                         "bipartitions never split a group")
+    p.add_argument("-J", type=int, default=2, choices=[0, 1, 2, 3],
+                   help="division mode: 1=leave-one-out, 2=tree edges "
+                        "(default), 3=all bipartitions, 0=random subsets "
+                        "(reference DivMode, randiv.h:31)")
+    p.add_argument("-E", nargs="?", const="-", default=None,
+                   metavar="FILE", help="write phase-interval run "
+                        "statistics (RunStat, prrn5.h:263-283)")
+    p.add_argument("-e", default=None, metavar="PREFIX",
+                   help="write each sub-MSA to PREFIX.N instead of "
+                        "merging (prrn5.cc:1099-1107)")
+    p.add_argument("--ckpt", default=None, metavar="FILE",
+                   help="save a refinement checkpoint (MSA+seed+iter)")
+    p.add_argument("--resume", default=None, metavar="FILE",
+                   help="resume from a checkpoint written by --ckpt")
     args = p.parse_args(argv)
+    from .utils.runstat import runstat, save_checkpoint, load_checkpoint
+    runstat.setfmessg(args.E)
+    runstat.stamp(0)
 
     if args.b:
         from .pipeline import build_msa_guided
         msa = build_msa_guided(args.b, randseed=args.R, maxitr=args.S,
                                refine=args.I > 0)
         _emit(msa, args)
+        return 0
+
+    if args.resume:
+        from .msa.refine import refine_msa
+        msa, meta = load_checkpoint(args.resume)
+        params = default_params(msa.molc, "prrn")
+        mtx, _ = scoring.build_matrix(msa.molc, params)
+        res = refine_msa(msa, mtx, u=params.u, v=params.v, sh=params.sh,
+                         maxitr=args.S, randseed=meta["randseed"],
+                         nbatch=args.r, spb=params.spb,
+                         divmode={0: "part", 1: "one", 2: "tree",
+                                  3: "all"}[args.J])
+        msa = res.msa
+        if args.ckpt:
+            save_checkpoint(args.ckpt, msa, meta["randseed"], args.S)
+        runstat.stamp(1)
+        _emit(msa, args)
+        runstat.conclude()
         return 0
 
     per_file = [io.sniff_and_read(f) for f in args.inputs]
@@ -135,6 +170,7 @@ def prrn_main(argv=None) -> int:
         return (len(recs) > 1 and len({len(r.seq) for r in recs}) == 1
                 and any("-" in r.seq for r in recs))
 
+    divmode = {0: "part", 1: "one", 2: "tree", 3: "all"}[args.J]
     hosts_present = any(is_aligned(recs) for recs in per_file)
     if args.G:
         # grouped refinement of one pre-aligned input (prrn5 -G)
@@ -151,12 +187,26 @@ def prrn_main(argv=None) -> int:
         from .pipeline import update_msa
         groups = [io.records_to_msa(recs, molc) for recs in per_file]
         msa = update_msa(groups, params=params, molc=molc, maxitr=args.S,
-                         randseed=args.R, refine=args.U, nbatch=args.r)
+                         randseed=args.R, refine=args.U, nbatch=args.r,
+                         divmode=divmode)
     else:
-        msa = build_msa(records, params=params, molc=molc, maxitr=args.S,
-                        randseed=args.R, refine=args.I > 0,
-                        local_thr=args.YH, nbatch=args.r)
+        if args.e and len(records) >= 16:
+            from .pipeline import build_msa_denovo_large
+            msa = build_msa_denovo_large(records, params, molc,
+                                         maxitr=args.S, randseed=args.R,
+                                         refine=args.I > 0, nbatch=args.r,
+                                         divmode=divmode,
+                                         dump_prefix=args.e)
+        else:
+            msa = build_msa(records, params=params, molc=molc,
+                            maxitr=args.S, randseed=args.R,
+                            refine=args.I > 0, local_thr=args.YH,
+                            nbatch=args.r, divmode=divmode)
+    if args.ckpt:
+        save_checkpoint(args.ckpt, msa, args.R, args.S)
+    runstat.stamp(1)
     _emit(msa, args)
+    runstat.conclude()
     return 0
 
 

@@ -151,7 +151,8 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
                accept_ties: bool = True,
                tree_data=None, col_range=None,
                nbatch: int = 1, spb: float = 20.0,
-               mesh=None, subset=None) -> RefineResult:
+               mesh=None, subset=None,
+               divmode: str = "tree") -> RefineResult:
     """One Prrn pass over a flat MSA (every sequence its own group).
 
     ``tree_data`` = (tree, vol, cur, leaf_vol) reuses a precomputed guide
@@ -203,17 +204,56 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
                   eij=slice_eij(full_codes, full_eij, lo, hi, msa.step)
                   if full_eij is not None else None)
 
+    # division modes (Randiv, randiv.cc:142-239): TREEDIV = 2n-3 tree-edge
+    # bipartitions; ONE_DIV = leave-one-out; ALL_DIV = every bipartition
+    # as a bitmask; PARTDIV = random member subsets via libc rand()
     parts = _tree_partitions(t)
     if m2u is not None:
         parts = [[m for m in range(n) if int(m2u[m]) in set(p)]
                  for p in parts]
-    cycle = 2 * nu - 3
+    if divmode == "one":
+        parts = parts[:nu]
+        cycle = nu
+    elif divmode == "all":
+        cycle = (1 << (nu - 1)) - 1 if nu <= 60 else nu * nu
+    elif divmode == "part":
+        cycle = nu * nu // 2
+    else:
+        cycle = 2 * nu - 3
     p = 0
     x = 1
     while x < cycle:
         p += 1
         x <<= 1
+    if divmode == "all" and nu <= 60:
+        p = nu - 1
     mcr = McRand(p, randseed, crand)
+
+    def _expand_units(units_sel):
+        if m2u is None:
+            return sorted(units_sel)
+        us = set(units_sel)
+        return [m for m in range(n) if int(m2u[m]) in us]
+
+    def draw():
+        """Next partition: (tree-node id or None, member rows)."""
+        if divmode == "all":
+            while True:
+                rnbr = mcr.mcrand()
+                if rnbr:
+                    break
+            mask = int(rnbr) + int(cycle)
+            return None, _expand_units(
+                [k for k in range(nu) if (mask >> k) & 1])
+        if divmode == "part":
+            bit = crand.rand() % max(nu // 2, 1) + 1
+            sel = {crand.rand() % nu for _ in range(bit)}
+            return None, _expand_units(sorted(sel))
+        while True:
+            rnbr = mcr.mcrand()
+            if rnbr < cycle:
+                break
+        return int(rnbr), parts[rnbr]
 
     joint = msa.codes.copy()
     names = msa.names
@@ -244,15 +284,22 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
         return dict(pwt=pwt, lst0=lst0, lst1=lst1, A=A, B=B,
                     swapped=swapped, old_skl=old_skl, sps_old=sps_old)
 
-    def prepare_candidate(rnbr):
+    def prepare_candidate(rnbr, members=None):
         """divideseq: sides, weights, old path for one partition.
         Returns None when the partition is skipped."""
-        members = parts[rnbr]
-        pwt, wfact = calcfact(t, vol, cur, rnbr)
-        if m2u is not None:
-            wfact = wfact[m2u]
+        if members is None:
+            members = parts[rnbr]
+        if rnbr is None:
+            # ALL_DIV/PARTDIV bitmask partitions carry no tree factor
+            pwt, wfact = 1.0, np.asarray(leaf_vol, np.float64)
+        else:
+            pwt, wfact = calcfact(t, vol, cur, rnbr)
+            if m2u is not None:
+                wfact = wfact[m2u]
         lst1 = members                      # bit==1 side (under node)
         lst0 = [k for k in range(n) if k not in set(members)]
+        if not lst0 or not lst1:
+            return None
         if len(lst0) < len(lst1):
             lst0, lst1 = lst1, lst0
         S0, keep0 = _side_msa(joint, lst0, wfact[lst0], names, msa.molc,
@@ -315,11 +362,8 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
             cands = []
             while len(cands) < nbatch and i < maxi:
                 i += 1
-                while True:
-                    rnbr = mcr.mcrand()
-                    if rnbr < cycle:
-                        break
-                c = prepare_candidate(rnbr)
+                rnbr, members = draw()
+                c = prepare_candidate(rnbr, members)
                 if c is None:
                     nrep += 1
                 else:
@@ -368,11 +412,8 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
             continue
 
         i += 1
-        while True:
-            rnbr = mcr.mcrand()
-            if rnbr < cycle:
-                break
-        cand = prepare_candidate(rnbr)
+        rnbr, members = draw()
+        cand = prepare_candidate(rnbr, members)
         if cand is None:
             nrep += 1
             if nrep >= cycle:
@@ -408,7 +449,7 @@ def refine_with_consreg(msa: Msa, mtx: np.ndarray, u: float, v: float,
                         sh: int, maxitr: int = 10, randseed: int = 1,
                         crand: GlibcRand | None = None,
                         spb: float = 20.0, nbatch: int = 1,
-                        mesh=None) -> RefineResult:
+                        mesh=None, divmode: str = "tree") -> RefineResult:
     """preprrn with conserved-region segmentation (prrn5.cc:786-839):
     one global tree/weighting, then per-attack-range Prrn passes, walked
     from the last range to the first so indices stay valid."""
@@ -433,7 +474,7 @@ def refine_with_consreg(msa: Msa, mtx: np.ndarray, u: float, v: float,
                          randseed=randseed, crand=crand,
                          tree_data=(t, vol, cur, leaf_vol),
                          col_range=(lo, hi), spb=spb, nbatch=nbatch,
-                         mesh=mesh)
+                         mesh=mesh, divmode=divmode)
         work = res.msa
         improvements += res.improvements
         iterations += res.iterations

@@ -24,7 +24,7 @@ def build_msa(records: list[SeqRecord], params: AlnParams | None = None,
               molc: int | None = None, maxitr: int = 10,
               randseed: int = 1, refine: bool = True,
               local_thr: float = 35.0, mesh=None,
-              nbatch: int = 1) -> Msa:
+              nbatch: int = 1, divmode: str = "tree") -> Msa:
     if molc is None:
         molc = ab.infer_molc(records[0].seq)
     if params is None:
@@ -42,7 +42,8 @@ def build_msa(records: list[SeqRecord], params: AlnParams | None = None,
     if len(seqs) >= 16:        # sl-forest scale-out (prrn5 min_seqs)
         return build_msa_denovo_large(records, params, molc, maxitr=maxitr,
                                       randseed=randseed, refine=refine,
-                                      mesh=mesh, nbatch=nbatch)
+                                      mesh=mesh, nbatch=nbatch,
+                                      divmode=divmode)
 
     d = distance.distance_matrix(seqs, mtx, u=params.u, v=params.v,
                                  sh=params.sh, mesh=mesh)
@@ -60,11 +61,12 @@ def build_msa(records: list[SeqRecord], params: AlnParams | None = None,
                                       sh=params.sh, maxitr=maxitr,
                                       randseed=randseed, crand=crand,
                                       spb=params.spb, nbatch=nbatch,
-                                      mesh=mesh)
+                                      mesh=mesh, divmode=divmode)
         else:
             res = refine_msa(msa, mtx, u=params.u, v=params.v, sh=params.sh,
                              maxitr=maxitr, randseed=randseed, crand=crand,
-                             spb=params.spb, nbatch=nbatch, mesh=mesh)
+                             spb=params.spb, nbatch=nbatch, mesh=mesh,
+                             divmode=divmode)
         msa = res.msa
     return msa
 
@@ -111,7 +113,8 @@ def cut_in(mom: Msa, dau: Msa, mtx, params: AlnParams) -> Msa:
 
 def update_msa(groups: list[Msa], params: AlnParams | None = None,
                molc: int | None = None, maxitr: int = 10, randseed: int = 1,
-               refine: bool = False, nbatch: int = 1, mesh=None) -> Msa:
+               refine: bool = False, nbatch: int = 1, mesh=None,
+               divmode: str = "tree") -> Msa:
     """Combine pre-aligned host MSAs and single-sequence guests
     (prrn5.cc:1529-1605 update_prrn): hosts merged by group alignment,
     guests cut in one by one, optional flat refinement."""
@@ -145,7 +148,8 @@ def update_msa(groups: list[Msa], params: AlnParams | None = None,
         msd.weight = None
         res = refine_msa(msd, mtx, u=params.u, v=params.v, sh=params.sh,
                          maxitr=maxitr, randseed=randseed,
-                         crand=GlibcRand(1), nbatch=nbatch, mesh=mesh)
+                         crand=GlibcRand(1), nbatch=nbatch, mesh=mesh,
+                         divmode=divmode)
         msd = res.msa
     return msd
 
@@ -192,7 +196,8 @@ def build_msa_denovo_large(records, params: AlnParams, molc: int,
                            maxitr: int = 10, randseed: int = 1,
                            refine: bool = True, m_nearest: int = 8,
                            max_memb: int = 2 ** 31 - 1, mesh=None,
-                           nbatch: int = 1) -> Msa:
+                           nbatch: int = 1, divmode: str = "tree",
+                           dump_prefix: str | None = None) -> Msa:
     """De-novo MSA for many sequences via the single-linkage forest
     (reference de_novo_prrn, prrn5.cc:1300-1332 + SlfPrrn::make_msa
     :1174-1260): sparse k-mer-filtered DP distance graph, Kruskal forest,
@@ -207,9 +212,11 @@ def build_msa_denovo_large(records, params: AlnParams, molc: int,
     names = [r.name for r in records]
     n = len(seqs)
 
+    from .utils.runstat import runstat
     edges = slforest.candidate_edges(
         seqs, molc, mtx, u=params.u, v=params.v, sh=params.sh,
         thr=params.thr, m_nearest=m_nearest, mesh=mesh)
+    runstat.stamp(len(edges))         # edges built (prrn5.cc:1317)
     trees, singles = slforest.build_forest(n, edges, thr=params.thr,
                                            max_memb=max_memb)
     crand = GlibcRand(1)
@@ -222,9 +229,18 @@ def build_msa_denovo_large(records, params: AlnParams, molc: int,
         if refine and m.many > 2:
             res = refine_msa(m, mtx, u=params.u, v=params.v, sh=params.sh,
                              maxitr=maxitr, randseed=randseed, crand=crand,
-                             nbatch=nbatch, mesh=mesh)
+                             nbatch=nbatch, mesh=mesh, divmode=divmode)
             m = res.msa
         sub_msas.append(m)
+    runstat.stamp(len(sub_msas))      # subtrees aligned (prrn5.cc:1149)
+
+    if dump_prefix is not None and sub_msas:
+        # -e: write each sub-MSA to PREFIX.N instead of merging
+        # (prrn5.cc:1099-1107,1162-1172 piecewise workflow)
+        from . import io as iomod
+        for k, m in enumerate(sub_msas):
+            iomod.write_native_block(m, f"{dump_prefix}.{k}")
+        return sub_msas[0]
 
     if not sub_msas:
         # no edges below threshold: fall back to all-by-all
@@ -241,6 +257,6 @@ def build_msa_denovo_large(records, params: AlnParams, molc: int,
         msd.weight = None
         res = refine_msa(msd, mtx, u=params.u, v=params.v, sh=params.sh,
                          maxitr=maxitr, randseed=randseed, crand=crand,
-                         nbatch=nbatch, mesh=mesh)
+                         nbatch=nbatch, mesh=mesh, divmode=divmode)
         msd = res.msa
     return msd
