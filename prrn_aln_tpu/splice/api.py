@@ -79,10 +79,23 @@ class SplicedResult:
             self.qname, rep, u=self.u, v=self.v)
 
 
+def _pick_engine(engine: str):
+    """'auto' runs the JAX kernel on an accelerator and the float64
+    oracle on CPU (where the sequential scan has no advantage)."""
+    if engine == "np":
+        return spliced_align_np
+    from ..ops.spliced_jax import spliced_align_device
+    if engine == "device":
+        return spliced_align_device
+    import jax
+    return (spliced_align_device if jax.default_backend() != "cpu"
+            else spliced_align_np)
+
+
 def spliced_align(genome: str, cdna: str, gname: str = "genome",
                   qname: str = "query", sh: int = ALN_DEF_SH,
-                  u: float | None = None, v: float | None = None
-                  ) -> SplicedResult:
+                  u: float | None = None, v: float | None = None,
+                  engine: str = "auto") -> SplicedResult:
     """Align cDNA to genomic DNA with intron modelling (aln -G)."""
     genome = genome.upper()
     cdna = cdna.upper()
@@ -97,8 +110,9 @@ def spliced_align(genome: str, cdna: str, gname: str = "genome",
     sig = SpliceSignals.build(bg)
     ipen = IntronPenalty.build(u=u, v=v)
     w = stripe(len(ac), len(bg), sh)
-    score, skl = spliced_align_np(ac, bg, sig, ipen, mtx, u=u, v=v,
-                                  lw=w.lw, up=w.up)
+    fwd = _pick_engine(engine)
+    score, skl = fwd(ac, bg, sig, ipen, mtx, u=u, v=v,
+                     lw=w.lw, up=w.up)
     gs = gene_structure(ac, bg, skl, sig, ipen, mtx, u=u, v=v)
     return SplicedResult(score=score, skl=skl, gs=gs, gname=gname,
                          qname=qname, genome=genome, cdna=cdna, u=u, v=v)
