@@ -262,7 +262,8 @@ def spliced_align_h(genome: str, protein, gname: str = "genome",
                     qname: str = "query", sh: int = ALN_DEF_SH,
                     u: float | None = None, v: float | None = None,
                     pam: int | None = None, yj: float | None = None,
-                    intron_pos=None, msa=None) -> SplicedResultH:
+                    intron_pos=None, msa=None,
+                    engine: str = "auto") -> SplicedResultH:
     """Gene prediction: align a protein query to genomic DNA with
     introns (aln -yl2 -L).  intron_pos: optional sorted array of known
     tron-scale intron positions of the query (the -yJ GSA bonus).
@@ -302,7 +303,12 @@ def spliced_align_h(genome: str, protein, gname: str = "genome",
         def api(pt):
             return bonus if np.any(pos == pt) else 0.0
 
-    score, raw = forward_h(qprof, b, exin, ipen, hprm, lw, up, api=api)
+    fwd = forward_h
+    if engine == "device" or (engine == "auto" and __import__(
+            "jax").default_backend() != "cpu"):
+        from ..ops.spliced_h_jax import forward_h_device
+        fwd = forward_h_device
+    score, raw = fwd(qprof, b, exin, ipen, hprm, lw, up, api=api)
     knots = trim_terminal(raw)
     gs = gene_structure_h(a, b, knots, exin, ipen, qprof, hprm)
     return SplicedResultH(score=score, knots=knots, gs=gs, gname=gname,
