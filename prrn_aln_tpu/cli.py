@@ -338,7 +338,8 @@ def aln_main(argv=None) -> int:
         print(f"Dev = {r['dev']:6.2f}  AV = {r['mean']:7.2f}  "
               f"SD = {r['sd']:7.2f}   ({r['njumble']} jumbles)")
     score, skl, swapped = align_pair(A, B, mtx, u=params.u, v=params.v,
-                                     sh=params.sh)
+                                     sh=params.sh,
+                                     ls=3 if args.yl == 3 else 1)
     strand = "+"
     if args.M and A.molc == ab.DNA:
         # both-strand search (reference aln.cc:336-356): also try the

@@ -59,8 +59,10 @@ def select_swap(A: Msa, B: Msa) -> bool:
 
 
 def align_pair(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
-               sh: int, tgapf: float = 1.0, pads=None, spb: float = 20.0):
-    """Align two prepared groups; returns (score, skl, swapped)."""
+               sh: int, tgapf: float = 1.0, pads=None, spb: float = 20.0,
+               ls: int = 1):
+    """Align two prepared groups; returns (score, skl, swapped).
+    ``ls=3`` selects the double-affine long-gap lanes (-yl3)."""
     swapped = select_swap(A, B)
     if swapped:
         A, B = B, A
@@ -71,7 +73,15 @@ def align_pair(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
     wdw = stripe(A.length, B.length, sh)
     if pads is not None:
         score, skl = group_align(A, B, mtx, u=u, v=v, wdw=wdw, pads=pads,
-                                 spb=spb)
+                                 spb=spb, ls=ls)
+    elif ls >= 3:
+        import jax
+        if jax.default_backend() == "cpu":
+            score, skl = group_align_np(A, B, mtx, u=u, v=v, wdw=wdw,
+                                        spb=spb, ls=ls)
+        else:
+            score, skl = group_align(A, B, mtx, u=u, v=v, wdw=wdw,
+                                     spb=spb, ls=ls)
     else:
         score, skl = group_align_np(A, B, mtx, u=u, v=v, wdw=wdw, spb=spb)
     return score, skl, swapped

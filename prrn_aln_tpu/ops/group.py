@@ -24,7 +24,7 @@ import numpy as np
 
 from ..msa.msa import Msa
 from .window import Window, stripe
-from .group_np import _col_arrays, DIAG, VERT, HORI
+from .group_np import _col_arrays, DIAG, VERT, HORI, VERT2, HORI2
 
 NEVSEL = -1.0e30
 
@@ -42,7 +42,7 @@ def _bucket(x: int, q: int = 64) -> int:
 
 @functools.partial(
     jax.jit, static_argnames=("nslot", "nsteps", "an", "bn", "la_max",
-                              "lb_max"))
+                              "lb_max", "ls3"))
 def _wavefront_group(
     S,            # (la_max, lb_max) column score table (incl. full-phase
                   # intron diag bonus, folded in by the packers)
@@ -56,7 +56,9 @@ def _wavefront_group(
     la, lb,       # scalars (traced)
     lw, up,       # band
     u, gop_scale,         # gap extend; GOP = -scale*v
-    *, nslot, nsteps, an, bn, la_max, lb_max,
+    v2divv1=np.float32(0.0), u2divu1=np.float32(0.0),
+    k1=np.int32(10 ** 9),
+    *, nslot, nsteps, an, bn, la_max, lb_max, ls3=False,
 ):
     r_all = lw - 1 + jnp.arange(nslot)
     f32 = jnp.float32
@@ -71,6 +73,13 @@ def _wavefront_group(
     Fval = jnp.full(nslot, NEVSEL, f32)
     Fgla = jnp.zeros((nslot, an), jnp.int32)
     Fglb = jnp.zeros((nslot, bn), jnp.int32)
+    # long-gap (double-affine) lane pair, fwd2c.h g2/f2 (-yl3)
+    G2val = jnp.full(nslot, NEVSEL, f32)
+    G2gla = jnp.zeros((nslot, an), jnp.int32)
+    G2glb = jnp.zeros((nslot, bn), jnp.int32)
+    F2val = jnp.full(nslot, NEVSEL, f32)
+    F2gla = jnp.zeros((nslot, an), jnp.int32)
+    F2glb = jnp.zeros((nslot, bn), jnp.int32)
 
     corner = r_all == 0
     Hval = jnp.where(corner, 0.0, Hval)
@@ -108,7 +117,8 @@ def _wavefront_group(
 
     def step(carry, d):
         (Hval, Hdir, Hgla, Hglb, Gval, Ggla, Gglb,
-         Fval, Fgla, Fglb) = carry
+         Fval, Fgla, Fglb, G2val, G2gla, G2glb,
+         F2val, F2gla, F2glb) = carry
         m_vec = (d - r_all) >> 1          # m' of the cell (consumed cols)
         n_vec = d - m_vec
         parity = (d - r_all) % 2 == 0
@@ -142,6 +152,10 @@ def _wavefront_group(
         Ggla_hi, Gglb_hi = shift_hi(Ggla, 0), shift_hi(Gglb, 0)
         Fval_lo = shift_lo(Fval, NEVSEL)
         Fgla_lo, Fglb_lo = shift_lo(Fgla, 0), shift_lo(Fglb, 0)
+        G2val_hi = shift_hi(G2val, NEVSEL)
+        G2gla_hi, G2glb_hi = shift_hi(G2gla, 0), shift_hi(G2glb, 0)
+        F2val_lo = shift_lo(F2val, NEVSEL)
+        F2gla_lo, F2glb_lo = shift_lo(F2gla, 0), shift_lo(F2glb, 0)
 
         # ---- diagonal candidate (pred: same slot, step d-2) ------------
         gop_d = crg(Hgla, Hglb, None, None, 0, mc, nc)
@@ -171,33 +185,97 @@ def _wavefront_group(
         hori_ok = n_vec >= 2
         fv = jnp.where(hori_ok, fv, NEVSEL)
 
+        # ---- long-gap lanes (ls=3) --------------------------------------
+        if ls3:
+            gnp_v2 = v2divv1 * crg(G2gla_hi, G2glb_hi, None, None, 1,
+                                   mc, nc)
+            gop_v2 = v2divv1 * crg(Hgla_hi, Hglb_hi, None, None, 1,
+                                   mc, nc)
+            open_v2 = ((Hdir_hi != D_VERT)
+                       & (Hval_hi + gop_v2 > G2val_hi + gnp_v2))
+            g2v = jnp.where(open_v2, Hval_hi + gop_v2,
+                            G2val_hi + gnp_v2) + u2divu1 * pua
+            g2_gla = jnp.where(
+                a_gap_col,
+                jnp.where(open_v2[:, None], Hgla_hi, G2gla_hi) + 1, 0)
+            g2_glb = jnp.where(open_v2[:, None], Hglb_hi, G2glb_hi) + 1
+            g2v = jnp.where(vert_ok, g2v, NEVSEL)
+
+            gnp_h2 = v2divv1 * crg(F2gla_lo, F2glb_lo, None, None, -1,
+                                   mc, nc)
+            gop_h2 = v2divv1 * crg(Hgla_lo, Hglb_lo, None, None, -1,
+                                   mc, nc)
+            open_h2 = ((Hdir_lo != D_HORI)
+                       & (Hval_lo + gop_h2 > F2val_lo + gnp_h2))
+            f2v = jnp.where(open_h2, Hval_lo + gop_h2,
+                            F2val_lo + gnp_h2) + u2divu1 * pub
+            f2_gla = jnp.where(open_h2[:, None], Hgla_lo, F2gla_lo) + 1
+            f2_glb = jnp.where(
+                b_gap_col,
+                jnp.where(open_h2[:, None], Hglb_lo, F2glb_lo) + 1, 0)
+            f2v = jnp.where(hori_ok, f2v, NEVSEL)
+
         # ---- boundary chains ------------------------------------------
         # top row (m'==0, n'>=1): H = H[r-1] + crg(d3=-1) + pub, dir HORI
         top_val = Hval_lo + gop_h + pub
         # left col (n'==0, m'>=1): H = H[r+1] + crg(d3=+1) + pua, dir VERT
         left_val = Hval_hi + gop_v + pua
+        if ls3:
+            # terminal runs >= k1 accrue at the long-gap rates
+            # (group_np boundary: npr/mpr >= codonk1)
+            top_val = jnp.where(n_vec >= k1,
+                                Hval_lo + v2divv1 * gop_h
+                                + u2divu1 * pub, top_val)
+            left_val = jnp.where(m_vec >= k1,
+                                 Hval_hi + v2divv1 * gop_v
+                                 + u2divu1 * pua, left_val)
 
-        # ---- select ----------------------------------------------------
-        mx_is_f = fv >= gv
+        # ---- select (lane order: g, g2 strict, f ties, f2 ties) --------
+        mx_val = gv
+        mx_lane = jnp.full(gv.shape, VERT, jnp.int8)
+        if ls3:
+            t = g2v > mx_val
+            mx_val = jnp.where(t, g2v, mx_val)
+            mx_lane = jnp.where(t, VERT2, mx_lane).astype(jnp.int8)
+        t = fv >= mx_val
+        mx_val = jnp.where(t, fv, mx_val)
+        mx_lane = jnp.where(t, HORI, mx_lane).astype(jnp.int8)
+        if ls3:
+            t = f2v >= mx_val
+            mx_val = jnp.where(t, f2v, mx_val)
+            mx_lane = jnp.where(t, HORI2, mx_lane).astype(jnp.int8)
         # phase-0 intron bonus lands on the winning gap lane and persists
         # in its stored value (the reference mutates through mx)
-        gv = gv + jnp.where(mx_is_f, 0.0, b0_cell)
-        fv = fv + jnp.where(mx_is_f, b0_cell, 0.0)
-        mx_val = jnp.maximum(gv, fv)
+        has_b0 = (b0_cell != 0.0) & (mx_val > NEVSEL / 2)
+        mx_val = mx_val + jnp.where(has_b0, b0_cell, 0.0)
+        gv = gv + jnp.where(has_b0 & (mx_lane == VERT), b0_cell, 0.0)
+        fv = fv + jnp.where(has_b0 & (mx_lane == HORI), b0_cell, 0.0)
+        if ls3:
+            g2v = g2v + jnp.where(has_b0 & (mx_lane == VERT2), b0_cell,
+                                  0.0)
+            f2v = f2v + jnp.where(has_b0 & (mx_lane == HORI2), b0_cell,
+                                  0.0)
         nondiag = mx_val > d_val
+        is_vlane = (mx_lane == VERT) | (mx_lane == VERT2)
         h_val = jnp.where(nondiag, mx_val, d_val)
         h_dir = jnp.where(nondiag,
-                          jnp.where(mx_is_f, D_HORI, D_VERT),
+                          jnp.where(is_vlane, D_VERT, D_HORI),
                           D_DIAG).astype(jnp.int8)
-        h_src = jnp.where(nondiag,
-                          jnp.where(mx_is_f, HORI, VERT),
-                          DIAG).astype(jnp.int8)
-        pick_f = nondiag & mx_is_f
-        pick_g = nondiag & ~mx_is_f
-        h_gla = jnp.where(pick_f[:, None], f_gla,
-                          jnp.where(pick_g[:, None], g_gla, d_gla))
-        h_glb = jnp.where(pick_f[:, None], f_glb,
-                          jnp.where(pick_g[:, None], g_glb, d_glb))
+        h_src = jnp.where(nondiag, mx_lane, DIAG).astype(jnp.int8)
+        if ls3:
+            mx_gla = jnp.where((mx_lane == VERT)[:, None], g_gla,
+                     jnp.where((mx_lane == VERT2)[:, None], g2_gla,
+                     jnp.where((mx_lane == HORI)[:, None], f_gla,
+                               f2_gla)))
+            mx_glb = jnp.where((mx_lane == VERT)[:, None], g_glb,
+                     jnp.where((mx_lane == VERT2)[:, None], g2_glb,
+                     jnp.where((mx_lane == HORI)[:, None], f_glb,
+                               f2_glb)))
+        else:
+            mx_gla = jnp.where((mx_lane == VERT)[:, None], g_gla, f_gla)
+            mx_glb = jnp.where((mx_lane == VERT)[:, None], g_glb, f_glb)
+        h_gla = jnp.where(nondiag[:, None], mx_gla, d_gla)
+        h_glb = jnp.where(nondiag[:, None], mx_glb, d_glb)
 
         # overlay boundary chains
         h_val = jnp.where(is_top, top_val, jnp.where(is_left, left_val,
@@ -228,15 +306,28 @@ def _wavefront_group(
         Fval = jnp.where(vm, fval_n, Fval)
         Fgla = jnp.where(vm[:, None], f_gla, Fgla)
         Fglb = jnp.where(vm[:, None], f_glb, Fglb)
-
-        dirs = jnp.where(vm, h_src, -1).astype(jnp.int8)
         opens = (jnp.where(vm & open_v, 1, 0)
                  + jnp.where(vm & open_h, 2, 0)).astype(jnp.int8)
+        if ls3:
+            g2val_n = jnp.where(vm & ~is_top & ~is_left, g2v, NEVSEL)
+            G2val = jnp.where(vm, g2val_n, G2val)
+            G2gla = jnp.where(vm[:, None], g2_gla, G2gla)
+            G2glb = jnp.where(vm[:, None], g2_glb, G2glb)
+            f2val_n = jnp.where(vm & ~is_top & ~is_left, f2v, NEVSEL)
+            F2val = jnp.where(vm, f2val_n, F2val)
+            F2gla = jnp.where(vm[:, None], f2_gla, F2gla)
+            F2glb = jnp.where(vm[:, None], f2_glb, F2glb)
+            opens = (opens + jnp.where(vm & open_v2, 4, 0)
+                     + jnp.where(vm & open_h2, 8, 0)).astype(jnp.int8)
+
+        dirs = jnp.where(vm, h_src, -1).astype(jnp.int8)
         carry = (Hval, Hdir, Hgla, Hglb, Gval, Ggla, Gglb,
-                 Fval, Fgla, Fglb)
+                 Fval, Fgla, Fglb, G2val, G2gla, G2glb,
+                 F2val, F2gla, F2glb)
         return carry, (dirs, opens)
 
-    carry = (Hval, Hdir, Hgla, Hglb, Gval, Ggla, Gglb, Fval, Fgla, Fglb)
+    carry = (Hval, Hdir, Hgla, Hglb, Gval, Ggla, Gglb, Fval, Fgla, Fglb,
+             G2val, G2gla, G2glb, F2val, F2gla, F2glb)
     carry, (dirs, opens) = jax.lax.scan(
         step, carry, jnp.arange(nsteps, dtype=jnp.int32))
     Hval = carry[0]
@@ -270,6 +361,7 @@ def skl_in_band(skl, lw: int, up: int) -> bool:
 def group_align(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
                 wdw: Window | None = None, scale: float = 1.0,
                 pads: tuple[int, int] | None = None, spb: float = 0.0,
+                ls: int = 1, u1: float = 0.6, k1: int = 7,
                 _retried: bool = False):
     """Align two prepared groups with the JAX wavefront kernel.
     Returns (score, skl).
@@ -343,19 +435,25 @@ def group_align(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
     wb = np.zeros(pb, np.float32)
     wb[:bn] = (B.weight if B.weight is not None else np.ones(bn))
 
+    ls3 = ls >= 3
+    v2divv1 = (v + (u - u1) * k1) / v if ls3 else 0.0
+    u2divu1 = (u1 / u) if ls3 else 0.0
     score, dirs, opens = _wavefront_group(
         S, B0, na_a, gda, pga, na_b, gdb, pgb, cfa, efa, cfb, efb, wa, wb,
         np.int32(La), np.int32(Lb), np.int32(lw), np.int32(up),
         np.float32(u), np.float32(-scale * v),
+        np.float32(v2divv1), np.float32(u2divu1),
+        np.int32(k1 if ls3 else 10 ** 9),
         nslot=nslot, nsteps=nsteps, an=pa, bn=pb,
-        la_max=la_max, lb_max=lb_max)
+        la_max=la_max, lb_max=lb_max, ls3=ls3)
     skl = _traceback_wave(np.asarray(dirs), np.asarray(opens),
                           La, Lb, lw)
     if not _retried and (float(score) <= NEVSEL / 2
                          or not skl_in_band(skl, lw, up)):
         wide = stripe(La, Lb, -100)
         return group_align(A, B, mtx, u, v, wdw=wide, scale=scale,
-                           pads=pads, spb=spb, _retried=True)
+                           pads=pads, spb=spb, ls=ls, u1=u1, k1=k1,
+                           _retried=True)
     return float(score), skl
 
 
@@ -382,16 +480,20 @@ def _traceback_wave(dirs: np.ndarray, opens: np.ndarray, La: int, Lb: int,
                 m, n = m - 1, n - 1
             elif src == VERT:
                 lane = "G"
+            elif src == VERT2:
+                lane = "G2"
+            elif src == HORI2:
+                lane = "F2"
             else:
                 lane = "F"
-        elif lane == "G":
-            opened = bool(op & 1)
+        elif lane in ("G", "G2"):
+            opened = bool(op & (1 if lane == "G" else 4))
             moves.append(VERT)
             m -= 1
             if opened or n == 0:
                 lane = "H"
         else:
-            opened = bool(op & 2)
+            opened = bool(op & (2 if lane == "F" else 8))
             moves.append(HORI)
             n -= 1
             if opened or m == 0:
