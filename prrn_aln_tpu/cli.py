@@ -55,7 +55,12 @@ def _emit(msa, args):
             span = msa.length
             ncomb = msa.many * (msa.many - 1) // 2
             sp = wsp.wsp_score(msa, mtx, v=9.0)
-            wspv = wsp.wsp_score(msa, mtx, v=9.0, pairwt=pairwt)
+            if msa.many >= 10:
+                # tree-structured WSP (Sptree, fspscore.cc:783-860)
+                from .msa.sptree import sptree_wsp
+                wspv, _ = sptree_wsp(msa, mtx, v=9.0, tree=t)
+            else:
+                wspv = wsp.wsp_score(msa, mtx, v=9.0, pairwt=pairwt)
             npw = float(pairwt.sum())
             print(f"{msa.names[0]} [ {msa.many} ] {span}\t"
                   f"{sp:7.1f} {100.0 * sp / ncomb / span:7.3f} "
