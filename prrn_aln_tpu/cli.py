@@ -215,11 +215,78 @@ def prrn_main(argv=None) -> int:
     return 0
 
 
+def _aln_catalog(args) -> int:
+    """Catalog input modes (CalcServer IM_*, calcserv.h:619-641):
+    pair generation over the flat sequence list."""
+    mode = args.imode
+    files = list(args.inputs)
+    if ":" in mode:
+        mode, cat = mode.split(":", 1)
+        from pathlib import Path
+        files += [ln.strip() for ln in Path(cat).read_text().splitlines()
+                  if ln.strip() and not ln.startswith("#")]
+    mode = (mode or "s").lower()
+    recs = [r for f in files for r in io.sniff_and_read(f)]
+    nn = len(recs)
+    if mode == "a" or mode == "j":
+        pairs = [(i, i + 1) for i in range(0, nn - 1, 2)]
+    elif mode == "e":
+        pairs = [(i, j) for j in range(1, nn) for i in range(j)]
+    elif mode == "f":
+        pairs = [(0, k) for k in range(1, nn)]
+    elif mode == "l":
+        pairs = [(k, nn - 1) for k in range(nn - 1)]
+    elif mode == "p":
+        half = nn // 2
+        pairs = [(k, half + k) for k in range(half)]
+    elif mode == "i":
+        pairs = [(k, k) for k in range(nn)]
+    else:
+        pairs = [(i, i + 1) for i in range(0, nn - 1, 2)]
+    molc = ab.infer_molc(recs[0].seq)
+    params = default_params(molc, "aln")
+    mtx, _ = scoring.build_matrix(molc, params)
+    out = []
+    for i, j in pairs:
+        A = io.records_to_msa([recs[i]], molc)
+        B = io.records_to_msa([recs[j]], molc)
+        A.prepare(mtx.shape[0])
+        B.prepare(mtx.shape[0])
+        score, skl, swapped = align_pair(A, B, mtx, u=params.u,
+                                         v=params.v, sh=params.sh)
+        if swapped:
+            A, B = B, A
+        m = merge_msas(A, B, skl)
+        out.append(f"! {recs[i].name} x {recs[j].name}  "
+                   f"score = {score:.1f}")
+        out.append(io.write_native_block(m).rstrip("\n"))
+    text = "\n".join(out) + "\n"
+    if args.o:
+        from pathlib import Path
+        Path(args.o).write_text(text)
+    else:
+        sys.stdout.write(text)
+    return 0
+
+
 def aln_main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="aln",
         description="TPU-native pairwise / group-to-group alignment")
-    p.add_argument("inputs", nargs=2, help="two sequence/MSA files")
+    p.add_argument("inputs", nargs="*", help="sequence/MSA files "
+                   "(two, unless -a/-b/-i)")
+    p.add_argument("-a", action="store_true",
+                   help="progressive pileup MSA in input order "
+                        "(aln.cc:489-568 MakeMsa)")
+    p.add_argument("-b", default=None, metavar="TREE",
+                   help="progressive MSA along a Newick guide tree "
+                        "whose leaves name sequence files")
+    p.add_argument("-i", dest="imode", default=None, metavar="MODE",
+                   help="catalog input mode over the sequence list "
+                        "(calcserv.h:619-641): a=adjacent pairs, "
+                        "e=every pair, f=first vs others, l=others vs "
+                        "last, p=parallel two halves, i=self; append "
+                        "':file' to read the file list from a catalog")
     p.add_argument("-u", type=float, default=None)
     p.add_argument("-v", type=float, default=None)
     p.add_argument("-w", type=int, default=None, help="band shoulder")
@@ -245,6 +312,43 @@ def aln_main(argv=None) -> int:
     p.add_argument("-yJ", type=float, default=None,
                    help="intron-position match bonus (default 20)")
     args = p.parse_args(argv)
+
+    if args.b:
+        # progressive MSA along a user tree (aln -b, no refinement)
+        from .pipeline import build_msa_guided
+        msa = build_msa_guided(args.b, refine=False)
+        _out(msa, args.F, args.o)
+        return 0
+
+    if args.a:
+        # pileup: progressive merge in input order (aln -a); internal
+        # nodes of the caterpillar tree are built with align_pair
+        recs = [r for f in args.inputs for r in io.sniff_and_read(f)]
+        if len(recs) < 2:
+            print("need at least two sequences", file=sys.stderr)
+            return 1
+        molc = ab.infer_molc(recs[0].seq)
+        params = default_params(molc, "aln")
+        mtx, _ = scoring.build_matrix(molc, params)
+        msa = io.records_to_msa([recs[0]], molc)
+        for r in recs[1:]:
+            nxt = io.records_to_msa([r], molc)
+            msa.prepare(mtx.shape[0])
+            nxt.prepare(mtx.shape[0])
+            _, skl, swapped = align_pair(msa, nxt, mtx, u=params.u,
+                                         v=params.v, sh=params.sh)
+            A, B = (nxt, msa) if swapped else (msa, nxt)
+            msa = merge_msas(A, B, skl)
+        _out(msa, args.F, args.o)
+        return 0
+
+    if args.imode:
+        return _aln_catalog(args)
+
+    if len(args.inputs) != 2:
+        print("aln needs exactly two inputs (or -a/-b/-i)",
+              file=sys.stderr)
+        return 1
 
     if args.L == "s":
         from .msa.local import swg_align, local_alignment_text

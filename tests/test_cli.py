@@ -77,3 +77,42 @@ def test_shuffle_significance():
     r = shuffle_test(a, b, mtx, u=2.0, v=9.0, sh=-50, njumble=8)
     assert r["dev"] > 3.0          # homologs score far above shuffles
     assert r["score"] > r["mean"]
+
+
+def test_aln_pileup_and_tree_modes(tmp_path, capsys):
+    from prrn_aln_tpu.cli import aln_main
+    seqs = {"s1": "MKVLWAAGLF", "s2": "MKVLWAGLF", "s3": "MRVLWAAGIF"}
+    files = []
+    for n, s in seqs.items():
+        f = tmp_path / f"{n}.fa"
+        f.write_text(f">{n}\n{s}\n")
+        files.append(str(f))
+    rc = aln_main(["-a", "-F", "fasta"] + files)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count(">") == 3 and "MKVLW" in out.replace("-", "")
+    # guide-tree mode
+    tree = tmp_path / "t.nwk"
+    tree.write_text(f"(({files[0]},{files[1]}),{files[2]});\n")
+    rc = aln_main(["-b", str(tree), "-F", "fasta"])
+    out = capsys.readouterr().out
+    assert rc == 0 and out.count(">") == 3
+
+
+def test_aln_catalog_modes(tmp_path, capsys):
+    from prrn_aln_tpu.cli import aln_main
+    f = tmp_path / "all.fa"
+    f.write_text(">a\nMKVLWAAG\n>b\nMKVLWAG\n>c\nMRVLWAAG\n>d\nMKILWAAG\n")
+    rc = aln_main(["-i", "e", str(f)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("! ") == 6          # all pairs of 4
+    rc = aln_main(["-i", "f", str(f)])
+    out = capsys.readouterr().out
+    assert out.count("! ") == 3 and "! a x" in out
+    # catalog file listing inputs
+    cat = tmp_path / "cat.txt"
+    cat.write_text(f"{f}\n")
+    rc = aln_main(["-i", f"a:{cat}"])
+    out = capsys.readouterr().out
+    assert out.count("! ") == 2
