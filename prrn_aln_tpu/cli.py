@@ -311,6 +311,15 @@ def aln_main(argv=None) -> int:
                    help="with -Ls: max local alignments (reference -M#)")
     p.add_argument("-yJ", type=float, default=None,
                    help="intron-position match bonus (default 20)")
+    p.add_argument("-T", default=None, metavar="SPECIES",
+                   help="species parameter tables: directory under "
+                        "$ALN_TAB with AlnParam (-yI intron-length "
+                        "params) and Splice5/Splice3 PWMs "
+                        "(autocomp.h:328-366)")
+    p.add_argument("-m", default=None, metavar="MATRIX",
+                   help="named amino-acid exchange matrix file "
+                        "(e.g. vtml200, blosum62; searched in $ALN_TAB; "
+                        "reference -mS)")
     args = p.parse_args(argv)
 
     if args.b:
@@ -386,7 +395,8 @@ def aln_main(argv=None) -> int:
                     grecs[0].seq, None, gname=grecs[0].name,
                     qname=qrecs[0].name, msa=msa,
                     sh=args.w if args.w is not None else -50,
-                    u=args.u, v=args.v, pam=args.yp, yj=args.yJ)
+                    u=args.u, v=args.v, pam=args.yp, yj=args.yJ,
+                    species=args.T)
                 out.append(res.render(args.O & 7 if args.O < 16
                                       else args.O))
             else:
@@ -395,7 +405,8 @@ def aln_main(argv=None) -> int:
                         grecs[0].seq, q.seq, gname=grecs[0].name,
                         qname=q.name,
                         sh=args.w if args.w is not None else -50,
-                        u=args.u, v=args.v, pam=args.yp, yj=args.yJ)
+                        u=args.u, v=args.v, pam=args.yp, yj=args.yJ,
+                        species=args.T)
                     out.append(res.render(args.O & 7 if args.O < 16
                                           else args.O))
         else:
@@ -405,7 +416,7 @@ def aln_main(argv=None) -> int:
                     grecs[0].seq, q.seq,
                     gname=grecs[0].name, qname=q.name,
                     sh=args.w if args.w is not None else -50,
-                    u=args.u, v=args.v)
+                    u=args.u, v=args.v, species=args.T)
                 out.append(res.render(args.O & 7 if args.O < 16
                                       else args.O))
         text = "".join(out)
@@ -437,7 +448,10 @@ def aln_main(argv=None) -> int:
     if over:
         import dataclasses
         params = dataclasses.replace(params, **over)
-    mtx, _ = scoring.build_matrix(A.molc, params)
+    if args.m and A.molc == ab.PROTEIN:
+        mtx = scoring.read_matrix_file(args.m)
+    else:
+        mtx, _ = scoring.build_matrix(A.molc, params)
     if args.R > 0 and A.many == 1 and B.many == 1:
         from .msa.shuffle import shuffle_test
         r = shuffle_test(A.codes[0].astype(np.int32),

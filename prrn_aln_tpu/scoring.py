@@ -115,3 +115,52 @@ def self_score(codes: np.ndarray, mtx: np.ndarray) -> float:
     """Sum of diagonal matrix entries over residues (aln2.cc:50-63
     selfAlnScr with many=1)."""
     return float(mtx[codes, codes].sum())
+
+
+def read_matrix_file(path) -> np.ndarray:
+    """Named text substitution matrix (BLAST layout: header row of
+    residue letters, then one labelled row per residue), e.g.
+    table/vtml200 or table/blosum62 — the reference's ``-mS`` named-
+    matrix loading (Simmtx::Simmtx(file), simmtx.cc).  Returns a full
+    (ASIMD, ASIMD) matrix in our protein code space."""
+    from pathlib import Path
+    import os
+    p = Path(path)
+    if not p.exists():
+        root = os.environ.get("ALN_TAB")
+        if root and (Path(root) / path).exists():
+            p = Path(root) / path
+        else:
+            raise FileNotFoundError(f"matrix file '{path}' not found "
+                                    "(set ALN_TAB)")
+    header = None
+    rows = {}
+    for ln in p.read_text().splitlines():
+        if not ln.strip() or ln.lstrip().startswith("#"):
+            continue
+        toks = ln.split()
+        if header is None:
+            header = toks
+            continue
+        rows[toks[0]] = [float(x) for x in toks[1:1 + len(header)]]
+    m = np.zeros((ab.ASIMD, ab.ASIMD), np.float64)
+    code = {c: ab.encode(c, ab.PROTEIN)[0] for c in
+            "ARNDCQEGHILKMFPSTWYVBZX"}
+    for ra, vals in rows.items():
+        ia = code.get(ra)
+        if ia is None:
+            continue
+        for rb, val in zip(header, vals):
+            ib = code.get(rb)
+            if ib is not None:
+                m[ia, ib] = m[ib, ia] = val
+    # gap/unlisted rows follow the PAM-matrix conventions
+    unp = -2.0
+    m[ab.AMB:, ab.GAP] = m[ab.GAP, ab.AMB:] = unp
+    m[:, ab.SEC] = m[:, ab.CYS]
+    m[ab.SEC, :] = m[ab.CYS, :]
+    m[ab.SEC, ab.GAP] = m[ab.GAP, ab.SEC] = unp
+    m[ab.SEC, ab.SEC] = m[ab.CYS, ab.CYS]
+    m[ab.GAP, ab.GAP] = 0.0
+    m[:, ab.NIL] = m[ab.NIL, :] = 0.0
+    return m.astype(np.float32)

@@ -95,7 +95,8 @@ def _pick_engine(engine: str):
 def spliced_align(genome: str, cdna: str, gname: str = "genome",
                   qname: str = "query", sh: int = ALN_DEF_SH,
                   u: float | None = None, v: float | None = None,
-                  engine: str = "auto") -> SplicedResult:
+                  engine: str = "auto",
+                  species: str | None = None) -> SplicedResult:
     """Align cDNA to genomic DNA with intron modelling (aln -G)."""
     genome = genome.upper()
     cdna = cdna.upper()
@@ -107,8 +108,14 @@ def spliced_align(genome: str, cdna: str, gname: str = "genome",
     mtx, _ = scoring.dna_matrix(dataclasses.replace(prm, u=u, v=v))
     bg = ab.encode(genome, ab.DNA)
     ac = ab.encode(cdna, ab.DNA)
-    sig = SpliceSignals.build(bg)
-    ipen = IntronPenalty.build(u=u, v=v)
+    tabs, ipkw = None, {}
+    if species:
+        from .species import load_species, ipen_kwargs
+        sp = load_species(species)
+        tabs = sp["tabs"] or None
+        ipkw = ipen_kwargs(sp)
+    sig = SpliceSignals.build(bg, tabs=tabs)
+    ipen = IntronPenalty.build(u=u, v=v, **ipkw)
     w = stripe(len(ac), len(bg), sh)
     fwd = _pick_engine(engine)
     score, skl = fwd(ac, bg, sig, ipen, mtx, u=u, v=v,

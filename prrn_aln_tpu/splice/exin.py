@@ -91,7 +91,8 @@ def _transit():
 
 def build_exin(codes: np.ndarray, ff: float = 1.0, y: float = 8.0,
                z: float = 2.0, o: float = 30.0,
-               sss: float = 0.5, bti: float = 8.0) -> Exin:
+               sss: float = 0.5, bti: float = 8.0,
+               tabs: dict | None = None) -> Exin:
     b = np.asarray(codes, np.int64)
     L = len(b)
     trn = tron.nuc2tron(b)
@@ -126,8 +127,8 @@ def build_exin(codes: np.ndarray, ff: float = 1.0, y: float = 8.0,
     sigE = np.where(is_stop, sigE + fO, np.where(nxt, 0.0, sigE))
 
     # mixed junction-time signals; per-position arrays are pure PWM
-    sig = SpliceSignals.build(b, f=ff, y=y, sss=sss)
-    pure = SpliceSignals.build(b, f=ff, y=y, sss=1.0)
+    sig = SpliceSignals.build(b, f=ff, y=y, sss=sss, tabs=tabs)
+    pure = SpliceSignals.build(b, f=ff, y=y, sss=1.0, tabs=tabs)
     phs5 = _mkphs(sig.cano5, L)
     phs3 = _mkphs(sig.cano3, L)
 

@@ -263,7 +263,8 @@ def spliced_align_h(genome: str, protein, gname: str = "genome",
                     u: float | None = None, v: float | None = None,
                     pam: int | None = None, yj: float | None = None,
                     intron_pos=None, msa=None,
-                    engine: str = "auto") -> SplicedResultH:
+                    engine: str = "auto",
+                    species: str | None = None) -> SplicedResultH:
     """Gene prediction: align a protein query to genomic DNA with
     introns (aln -yl2 -L).  intron_pos: optional sorted array of known
     tron-scale intron positions of the query (the -yJ GSA bonus).
@@ -290,9 +291,15 @@ def spliced_align_h(genome: str, protein, gname: str = "genome",
         protein = protein.upper()
         a = ab.encode(protein, ab.PROTEIN)
         qprof = build_qprof(a, tm)
-    exin = build_exin(b)
+    tabs, ipkw = None, {}
+    if species:
+        from .species import load_species, ipen_kwargs
+        sp = load_species(species)
+        tabs = sp["tabs"] or None
+        ipkw = ipen_kwargs(sp)
+    exin = build_exin(b, tabs=tabs)
     ipen = IntronPenalty.build(f=1.0, y=8.0, sss=0.5, u=u, v=v,
-                               ip=15.0, fact=8.0)
+                               ip=15.0, fact=8.0, **ipkw)
     hprm = HParams(u=u, v=v)
     lw, up = stripe31(len(a), len(b), sh)
     api = None

@@ -54,7 +54,12 @@ class IntronPenalty:
               u: float = 2.0, v: float = 6.0,
               ip: float = DEF_IP, fact: float = DEF_FACT,
               mean: float = DEF_MEAN, llmt: int = DEF_LLMT,
-              rlmt: int = DEF_RLMT) -> "IntronPenalty":
+              rlmt: int = DEF_RLMT,
+              a1: float = A1, m1: float = M1, t1: float = T1,
+              k1: float = K1, m2: float = M2, t2: float = T2,
+              k2: float = K2, a2: float | None = None,
+              m3: float = 0.0, t3: float = 1.0,
+              k3: float = 1.0) -> "IntronPenalty":
         fy = f * y
         fY = f * fact
         # expsig: canonical-table mean + species-PWM means (zero for the
@@ -65,15 +70,19 @@ class IntronPenalty:
         gap_wi = fY * mean - int_pen
 
         table = np.empty(rlmt - llmt + 1, np.float64)
-        a2 = 1.0 - A1
+        # species -yI vectors (simmtx.cc:676-684): up to 3 Frechet
+        # components with weights a1, (1-a1-a2), a2
+        a3 = a2 if a2 is not None else 0.0
+        a2_ = 1.0 - a1 - a3
         gep = f * u
         gappen = -(f * v + llmt * gep)
         minl = 0
         optip = SHRT_MIN
         mode = llmt
         for i in range(llmt, rlmt + 1):
-            z = A1 * _prob_dist(i, M1, T1, K1) \
-                + a2 * _prob_dist(i, M2, T2, K2)
+            z = a1 * _prob_dist(i, m1, t1, k1) \
+                + a2_ * _prob_dist(i, m2, t2, k2) \
+                + (a3 * _prob_dist(i, m3, t3, k3) if a3 else 0.0)
             gp = fY * math.log10(z) - int_pen if z > 0 else SHRT_MIN
             table[i - llmt] = gp
             if gp > optip:
@@ -88,12 +97,12 @@ class IntronPenalty:
             minl = llmt
 
         # tail: dominant component at rlmt sets the log-slope
-        z1 = _prob_dist(rlmt, M1, T1, K1)
-        z2 = _prob_dist(rlmt, M2, T2, K2)
+        z1 = _prob_dist(rlmt, m1, t1, k1)
+        z2 = _prob_dist(rlmt, m2, t2, k2)
         if z2 > z1:
-            mu, kk = int(M2), K2
+            mu, kk = int(m2), k2
         else:
-            mu, kk = int(M1), K1
+            mu, kk = int(m1), k1
         int_ep = -(kk + 1.0) * fY / math.log(10.0)
         int_fx = table[-1] - int_ep * math.log(rlmt - mu)
         return cls(table, llmt, rlmt, mu, int_ep, int_fx, gap_wi,

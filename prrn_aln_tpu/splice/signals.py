@@ -131,8 +131,11 @@ class SpliceSignals:
 
     @classmethod
     def build(cls, codes: np.ndarray, f: float = 1.0, y: float = DEF_Y,
-              sss: float = DEF_SSS) -> "SpliceSignals":
-        t = load_tables()
+              sss: float = DEF_SSS,
+              tabs: dict | None = None) -> "SpliceSignals":
+        t = dict(load_tables())
+        if tabs:
+            t.update(tabs)          # species -T PWM overrides
         L = len(codes)
         red = _RED[np.asarray(codes, np.int64)]
         fS = y * f

@@ -43,3 +43,21 @@ def test_self_score():
         codes = np.array(seq["codes"], dtype=np.int64)
         np.testing.assert_allclose(
             scoring.self_score(codes, m), golden, rtol=1e-5)
+
+
+def test_named_matrix_files(monkeypatch):
+    from pathlib import Path
+    import numpy as np
+    from prrn_aln_tpu import scoring, alphabet as ab
+    tab = Path("/root/reference/table")
+    if not tab.exists():
+        import pytest
+        pytest.skip("reference table dir absent")
+    monkeypatch.setenv("ALN_TAB", str(tab))
+    for name, ww, wc in (("vtml200", 15.0, -6.0), ("blosum62", 11.0, -2.0)):
+        m = scoring.read_matrix_file(name)
+        W = ab.encode("W", ab.PROTEIN)[0]
+        C = ab.encode("C", ab.PROTEIN)[0]
+        assert m[W, W] == ww
+        assert m[W, C] == wc
+        assert np.allclose(m, m.T)
