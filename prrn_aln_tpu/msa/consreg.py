@@ -86,31 +86,12 @@ def conserved_islands(scores: np.ndarray, vthr: float) -> list[tuple[int, int]]:
     return out
 
 
-def _intersect(a: list[tuple[int, int]], b: list[tuple[int, int]]):
-    out = []
-    i = j = 0
-    while i < len(a) and j < len(b):
-        lo = max(a[i][0], b[j][0])
-        hi = min(a[i][1], b[j][1])
-        if lo < hi:
-            out.append((lo, hi))
-        if a[i][1] < b[j][1]:
-            i += 1
-        else:
-            j += 1
-    return out
+from .css import cmnrng as _intersect
 
 
 def _complement(full: tuple[int, int], ranges: list[tuple[int, int]]):
-    out = []
-    pos = full[0]
-    for lo, hi in ranges:
-        if lo > pos:
-            out.append((pos, lo))
-        pos = max(pos, hi)
-    if pos < full[1]:
-        out.append((pos, full[1]))
-    return out
+    from .css import complerng
+    return complerng(full, ranges)
 
 
 def attack_ranges(msa: Msa, tree: Tree, mtx,
