@@ -270,6 +270,11 @@ def _aln_catalog(args) -> int:
 
 
 def aln_main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    # a bare `-L` (reference local mode) must not consume the next
+    # positional (argparse nargs="?"): rewrite to the attached form
+    argv = ["-Ll" if t == "-L" else t for t in argv]
     p = argparse.ArgumentParser(
         prog="aln",
         description="TPU-native pairwise / group-to-group alignment")

@@ -27,6 +27,7 @@ class SeqRecord:
     comments: list[str] = dataclasses.field(default_factory=list)
     exons: list[tuple[int, int]] | None = None   # from ;C annotations
     eij: "np.ndarray | None" = None  # member-local tron junctions (;B)
+    weight: float | None = None      # ``%`` line weight (native MSA)
 
 
 _COORD_RE = re.compile(r"(\d+)\.\.(\d+)")
@@ -65,20 +66,35 @@ def read_fasta(path: str | Path) -> list[SeqRecord]:
     return recs
 
 
+def _native_header_many(line: str) -> int:
+    """Member count declared by a native-MSA ``>name [many:len]`` header
+    (seq_NandL "native mfa?" scan, seq.h:484-490: sum of the numbers
+    after every '[')."""
+    return sum(int(m) for m in re.findall(r"\[(\d+)", line))
+
+
 def read_native(path: str | Path) -> list[SeqRecord]:
-    """Native interleaved/serial MSA: header ``many len name`` then
-    ``>name`` entries terminated by ``/`` lines.  ``;b/;m`` intron-
-    position blocks (put_SigII output) are converted back to per-member
-    local junction coordinates."""
+    """Native interleaved/serial MSA: either a ``many len`` header line
+    (Phylip-like, seq.h:463-470) or a ``>name [many:len]`` header
+    (NATIVE_MF, seq.h:484-490), then interleaved ``pos SEQ| name``
+    blocks or serial ``>name`` entries.  ``%`` weight lines are parsed
+    and rescaled to sum to ``many`` (Seq::header_nat_aln,
+    seq.cc:1470-1486); ``;b/;m`` intron-position blocks (put_SigII
+    output) are converted back to per-member local junction
+    coordinates."""
     lines = Path(path).read_text().splitlines()
     recs: list[SeqRecord] = []
     name, buf = None, []
     bpairs: list[tuple[int, int]] = []    # (pos, num) from ;b
     mlist: list[int] = []                 # 1-based members from ;m
+    weights: list[float] = []             # % lines (_WGHT, seq.h:736-744)
     inter: dict[str, list[str]] = {}      # interleaved-block rows
     inter_order: list[str] = []
     blk = re.compile(r"\s*\d+ (.*)\| (\S+)\s*$")
-    for raw in lines[1:]:
+    body = lines
+    if lines and not lines[0].startswith(">"):
+        body = lines[1:]                  # skip `many len` header
+    for raw in body:
         bm = blk.match(raw)
         if bm:
             body, nm = bm.group(1), bm.group(2)
@@ -99,6 +115,11 @@ def read_native(path: str | Path) -> list[SeqRecord]:
                        for k in range(0, len(toks) - 1, 2)]
         elif raw.startswith(";m"):
             mlist += [int(t) for t in raw[2:].split()]
+        elif raw.startswith("%"):
+            try:
+                weights += [float(t) for t in raw[1:].split()]
+            except ValueError:
+                pass
         elif raw.startswith((";", "#")) or not raw.strip():
             continue
         elif name is not None:
@@ -107,6 +128,15 @@ def read_native(path: str | Path) -> list[SeqRecord]:
         recs = [SeqRecord(nm, "".join(inter[nm])) for nm in inter_order]
     elif name is not None:
         recs.append(SeqRecord(name, "".join(buf)))
+    if weights and recs:
+        # rescale so the weights sum to `many` (header_nat_aln,
+        # seq.cc:1477-1482); short/zero weight lists fall back to equal
+        w = np.ones(len(recs)) if len(weights) < len(recs) else \
+            np.asarray(weights[:len(recs)], float)
+        f = w.sum() / len(recs)
+        w = np.ones(len(recs)) if f < 1e-7 else w / f
+        for r, wi in zip(recs, w):
+            r.weight = float(wi)
     if bpairs and recs:
         step = 3 if ab.infer_molc(recs[0].seq) == ab.PROTEIN else 1
         per: dict[int, list[int]] = {}
@@ -157,6 +187,10 @@ def sniff_and_read(path: str | Path) -> list[SeqRecord]:
     if not lines:
         return []
     first = lines[0]
+    if first.startswith(">") and _native_header_many(first) > 1:
+        # `>name [many:len]` native-MSA header (NATIVE_MF,
+        # seq.h:484-490) — NOT plain FASTA
+        return read_native(path)
     rd = _sniff_body(first)
     if rd is not None:
         return rd(path)
@@ -192,8 +226,12 @@ def records_to_msa(recs: list[SeqRecord], molc: int | None = None) -> Msa:
         step = 3 if molc == ab.PROTEIN else 1
         eij = [r.eij if r.eij is not None else eij_from_exons(r.exons, step)
                for r in recs]
+    weight = None
+    if any(r.weight is not None for r in recs):
+        weight = np.asarray([1.0 if r.weight is None else r.weight
+                             for r in recs])
     return Msa(codes=codes, molc=molc, names=[r.name for r in recs],
-               eij=eij)
+               eij=eij, weight=weight)
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,11 @@ class Exin:
         exactly the mixed sig5 of SpliceSignals."""
         return float(self.sig.sig5[nb])
 
+    def sig3_at(self, n: int) -> float:
+        """sig53(.., n, IE53): acceptor-site signal at junction time —
+        the mixed dinucleotide + PWM acceptor signal."""
+        return float(self.sig.sig3[n]) if n < len(self.sig.sig3) else 0.0
+
     def sig53_at(self, m: int, n: int) -> float:
         """sig53(m, n, IE53): donor m paired with acceptor n."""
         return self.sig.sig53_pair(m, n)

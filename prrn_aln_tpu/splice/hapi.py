@@ -71,14 +71,22 @@ def trim_terminal(knots):
 
 
 def gene_structure_h(a, b, knots, exin: Exin, ipen: IntronPenalty,
-                     qprof, prm: HParams) -> GeneStructure:
+                     qprof, prm: HParams, codes=None, weight=None,
+                     api=None) -> GeneStructure:
     """Re-walk the forward_h knot chain into ExonRecords (genome
     coordinates in nt, query coordinates in residues) — the skl_rngH /
     verify equivalent (src/fwd2h.h:585-760).
 
     Intron jumps are same-m knot pairs of length >= ipen.llmt (the DP
-    only records such jumps at spliceable donor/acceptor pairs);
-    shorter horizontal runs are frameshift or codon-unit gaps."""
+    only records such jumps at spliceable donor/acceptor pairs); the
+    knot coordinates carry the acceptor-phase shift, so the true
+    junction (nb, n3) is re-derived from the exin phase marks exactly
+    as the reference verify does (fwd2h.h:745-790): phs5/phs3 taken at
+    the jump ends with the ==2 crossing rule, boundary = knot - phs3,
+    split codons re-scored with the chimeric junction codon
+    (SpJunc::spjseq).  ``codes``/``weight``: optional member residue
+    rows + normalized weights for weighted match statistics (profile
+    query); falls back to the consensus ``a``."""
     trn = exin.trn
     knots = trim_terminal(knots)
     exons: list[ExonRecord] = []
@@ -88,34 +96,123 @@ def gene_structure_h(a, b, knots, exin: Exin, ipen: IntronPenalty,
     ngaps = 0
     rbuf = ExonRecord(left=n, rleft=m, iscr=NEVSEL)
     e_start_val = 0.0
+    last_hvl = 0.0               # last diagonal codon's contribution
+    pend_cs = None               # chimeric codon for next diag codon
+    if codes is not None:
+        wvec = np.asarray(weight, float) if weight is not None else \
+            np.ones(codes.shape[0])
+        wvec = wvec / wvec.sum()
+
+    last_cnt = [0.0, 0.0, 0.0]   # last codon's (mch, mmc, unp) delta
+
+    def count(mi, aa):
+        """Weighted match statistics of query column mi vs tron aa."""
+        nonlocal mch, mmc, unp
+        fa = _fold(int(aa))
+        if codes is not None:
+            col = codes[:, mi - 1]
+            gapm = col <= ab.GAP
+            eqm = np.array([_fold(int(c)) == fa for c in col]) & ~gapm
+            dm_ = float(wvec[eqm].sum())
+            dmm = float(wvec[~eqm & ~gapm].sum())
+            du = float(wvec[gapm].sum())
+        elif fa == _fold(int(a[mi - 1])):
+            dm_, dmm, du = 1.0, 0.0, 0.0
+        else:
+            dm_, dmm, du = 0.0, 1.0, 0.0
+        last_cnt[:] = [dm_, dmm, du]
+        mch += dm_
+        mmc += dmm
+        unp += du
+        rbuf.mch += dm_
+        rbuf.mmc += dmm
+        rbuf.unp += du
 
     def diag(mm, nn, k):
         """Score/count one codon at residue mm+1+k, start nt nn+3k."""
-        nonlocal hval, mch, mmc
+        nonlocal hval, last_hvl, pend_cs
         mi = mm + 1 + k
         c = nn + 3 * k + 1          # codon center (0-based)
-        hval += float(qprof[mi][trn[c]]) \
-            + (float(exin.sigE[c]) if c >= 0 else 0.0)
-        if _fold(int(trn[c])) == _fold(int(a[mi - 1])):
-            mch += 1
-            rbuf.mch += 1
+        if pend_cs is not None:
+            # first codon after a phase!=0 acceptor: chimeric junction
+            # codon, no sigE (verify `if (cs)` branch, fwd2h.h:701-706)
+            aa = pend_cs
+            pend_cs = None
+            pm = prm.fO if aa in (tron.TRM, tron.TRM2) else 0.0
+            last_hvl = float(qprof[mi][aa]) + pm
         else:
-            mmc += 1
-            rbuf.mmc += 1
+            aa = int(trn[c])
+            last_hvl = float(qprof[mi][aa]) \
+                + (float(exin.sigE[c]) if c >= 0 else 0.0)
+        hval += last_hvl
+        count(mi, aa)
 
     for wm, wn in knots[1:]:
         dm, dn = wm - m, wn - n
         if dm == 0 and dn == 0:
             continue
         if dm == 0 and dn >= ipen.llmt:
-            # intron
-            sig5 = float(exin.sig5_at(n))
-            sig3 = float(exin.sig3[wn]) if wn < len(exin.sig3) else 0.0
-            xi = sig5 + float(exin.sig53_at(n, wn)) \
-                + float(ipen.penalty(wn - n))
-            rbuf.right = n
+            # intron: re-derive the junction phase from the exin marks
+            # (verify, fwd2h.h:745-765)
+            p5 = int(exin.phs5[n]) if n < len(exin.phs5) else -2
+            p3 = int(exin.phs3[wn]) if wn < len(exin.phs3) else -2
+            phs5 = p3 if p5 == 2 else p5
+            phs3 = p5 if p3 == 2 else p3
+            xi_alt = NEVSEL
+            if p5 == 2 and p3 == 2:      # GTGT....AGAG both phases
+                nb_a = n + 1
+                n3_a = nb_a + dn
+                xi_alt = float(exin.sig5_at(nb_a)) \
+                    + float(exin.sig53_at(nb_a, n3_a))
+                if api:
+                    xi_alt += api(3 * m + 1)
+                phs3 = phs5 = 1
+            if phs3 not in (-1, 0, 1):
+                phs3 = 0
+            nb = n - phs3
+            n3 = nb + dn
+            sig5 = float(exin.sig5_at(nb))
+            sig3 = exin.sig3_at(n3)
+            xi = sig5 + float(exin.sig53_at(nb, n3))
+            if api:
+                xi += api(3 * m - phs3)
+            cs = None
+            if phs3 != 0:
+                aa1, aa2 = tron.spliced_codons(b, nb, n3)
+                if phs3 == -1:
+                    # split codon completes after the acceptor: score
+                    # it as the chimeric codon (fwd2h.h:789 keeps cs
+                    # only for phs3 == -1)
+                    cs = aa2
+                elif phs3 == 1:
+                    # re-score the straddling pre-junction codon with
+                    # the chimeric codon (fwd2h.h:768-774); its match
+                    # statistics are reverted and not recounted
+                    # (verify's `*fst = lst`)
+                    pm = prm.fO if aa1 in (tron.TRM, tron.TRM2) \
+                        else 0.0
+                    xi += float(qprof[m][aa1]) + pm - last_hvl
+                    mch -= last_cnt[0]
+                    mmc -= last_cnt[1]
+                    unp -= last_cnt[2]
+                    rbuf.mch -= last_cnt[0]
+                    rbuf.mmc -= last_cnt[1]
+                    rbuf.unp -= last_cnt[2]
+            if xi_alt > xi:
+                phs3 = -1
+                nb = n + 1
+                n3 = nb + dn
+                sig5 = float(exin.sig5_at(nb))
+                sig3 = exin.sig3_at(n3)
+                xi = xi_alt
+                aa1, aa2 = tron.spliced_codons(b, nb, n3)
+                cs = aa2
+            xi += float(ipen.penalty(dn))
+            pend_cs = cs
+            rbuf.right = nb
             rbuf.rright = m
             rbuf.iscr = xi
+            rbuf.phs = phs3      # 5'-side record carries the phase
             rbuf.sig5 = sig5
             rbuf.escr = hval + sig5 - e_start_val
             rbuf.mch3, rbuf.mmc3, rbuf.unp3 = rbuf.mch, rbuf.mmc, \
@@ -123,9 +220,7 @@ def gene_structure_h(a, b, knots, exin: Exin, ipen: IntronPenalty,
             exons.append(dataclasses.replace(rbuf))
             hval += xi
             e_start_val = hval - sig3
-            cds_nt = sum(e.right - e.left for e in exons)
-            rbuf = ExonRecord(left=wn, rleft=m, sig3=sig3, iscr=NEVSEL,
-                              phs=(3 * m - cds_nt) % 3)
+            rbuf = ExonRecord(left=n3, rleft=m, sig3=sig3, iscr=NEVSEL)
             rbuf.mch = rbuf.mmc = rbuf.unp = 0
         elif dm > 0 and dn == 3 * dm:
             for k in range(dm):
@@ -303,8 +398,23 @@ def spliced_align_h(genome: str, protein, gname: str = "genome",
     hprm = HParams(u=u, v=v)
     lw, up = stripe31(len(a), len(b), sh)
     api = None
-    if intron_pos is not None and len(intron_pos):
-        bonus = 20.0 if yj is None else yj
+    bonus = 20.0 if yj is None else yj
+    if intron_pos is None and msa is not None and msa.eij is not None:
+        # GSA profile: the -yJ bonus at each annotated junction is
+        # SpbFact * dns (weighted member share, gsinfo.h:215
+        # PfqItr::match_score; dns = sum of fitted weights of sharing
+        # members, gsinfo.h:120) — at our normalized scale,
+        # bonus * sum(w_share)/sum(w)
+        from ..msa.sigii import merged_pfq
+        w = msa.weight if msa.weight is not None else \
+            np.ones(msa.many)
+        pfq = merged_pfq(msa.codes, msa.eij, w, step=3)
+        if pfq:
+            dns = {pos: d / float(np.sum(w)) for pos, _, d in pfq}
+
+            def api(pt):
+                return bonus * dns.get(int(pt), 0.0)
+    elif intron_pos is not None and len(intron_pos):
         pos = np.asarray(intron_pos)
 
         def api(pt):
@@ -317,7 +427,10 @@ def spliced_align_h(genome: str, protein, gname: str = "genome",
         fwd = forward_h_device
     score, raw = fwd(qprof, b, exin, ipen, hprm, lw, up, api=api)
     knots = trim_terminal(raw)
-    gs = gene_structure_h(a, b, knots, exin, ipen, qprof, hprm)
+    gs = gene_structure_h(a, b, knots, exin, ipen, qprof, hprm,
+                          codes=(msa.codes if msa is not None else None),
+                          weight=(msa.weight if msa is not None
+                                  else None), api=api)
     return SplicedResultH(score=score, knots=knots, gs=gs, gname=gname,
                           qname=qname, genome=genome, protein=protein,
                           u=u, v=v, pam=pam, exin=exin, raw_knots=raw)
@@ -327,7 +440,8 @@ def spliced_alignment_text_h(gs: GeneStructure, knots, genome: str,
                              protein: str, exin: Exin, gname: str,
                              qname: str, reported: float, u: float,
                              v: float, pam: int, lpw: int = 60,
-                             margin: int = 10) -> str:
+                             margin: int = 10,
+                             raw: float | None = None) -> str:
     """Default -O1 printout: codon-spaced rows — translated genome on
     top, genome nt (introns lowercase) in the middle, query residues on
     the bottom (sqpr.cc PrintAln over tron sequences)."""
@@ -340,8 +454,8 @@ def spliced_alignment_text_h(gs: GeneStructure, knots, genome: str,
     pct = 100.0 * gs.mch / denom if denom else 0.0
     hdr.append("Score = %5.1f (%5.1f), %.1f (=), %.1f (#), %.1f (g), "
                "%.1f (u), (%5.2f %%)"
-               % (reported, gs.score, gs.mch, gs.mmc, gs.gap, gs.unp,
-                  pct))
+               % (reported, gs.score if raw is None else raw,
+                  gs.mch, gs.mmc, gs.gap, gs.unp, pct))
     hdr.append("ALIGNMENT   1 / 1")
     text = "\n".join(hdr) + "\n"
 
