@@ -108,12 +108,28 @@ def _codon_tables(b: np.ndarray):
     return A1, A2, e3idx, r1idx
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+@functools.partial(jax.jit,
+                   static_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _sweep_h(M, N, lw, up, a_exg, b_exg, lcl,
-             H0, G0, qprof, pack, pen_pack):
+             H0, qprof, pack, pen_pack):
+    """Wavefront forwardH: one `lax.scan` step per anti-diagonal wave
+    t = 3m + n; every row m advances exactly one genome column per
+    wave, so all dependencies become fixed-depth ring reads (the
+    horizontal e1 phase-ring is a delay-3 buffer in wave time) and the
+    per-row donor candidate lists evolve in exactly the row-sweep
+    order.  This replaces the per-cell inner scan (which serialized
+    all ~M*W cells) with ~3M+N waves of (M+1)-lane vector work — the
+    fwd2d1.cc anti-diagonal idea applied to the codon-stepped spliced
+    grid (fwd2h.h:270-583).
+
+    H0: the initH band arrays (top row + left column records, host
+    built); the final band value/dir arrays returned preserve untouched
+    init slots exactly like the row sweep.  Event planes come back in
+    wave layout: evw[t - t_min, m], jdw[t - t_min, m, 4]."""
     a_exgl, a_exgr = a_exg
     b_exgl, b_exgr = b_exg
     W = up - lw + 1
+    MR = M + 1
     gop = pack["gop"]
     gep = pack["gep"]
     gap_e1 = pack["gap_e1"]
@@ -126,6 +142,8 @@ def _sweep_h(M, N, lw, up, a_exg, b_exg, lcl,
     vmask = jnp.asarray(_VERT_MASK)
     hmask = jnp.asarray(_HORI_MASK)
     d2n = jnp.asarray(_D2N)
+    v3t = jnp.asarray(_V3)
+    h3t = jnp.asarray(_H3)
     trn = pack["trn"]
     sigE = pack["sigE"]
     phs5 = pack["phs5"]
@@ -141,366 +159,609 @@ def _sweep_h(M, N, lw, up, a_exg, b_exg, lcl,
     e3idx = pack["e3idx"]
     r1idx = pack["r1idx"]
 
-    slots = jnp.arange(3, W + 3)          # idx(r) = r - lw + 3
+    mvec = jnp.arange(MR, dtype=I32)
+    n_first = jnp.maximum(3 * mvec + lw, 1)
+    n_last = jnp.minimum(3 * mvec + up, N)
+    nf1 = jnp.roll(n_first, 1)
+    nl1 = jnp.roll(n_last, 1)
+    internal_v = jnp.logical_or(jnp.bool_(not a_exgr), mvec < M)
+    r0_max = min(up, N)
+    t_min = 3 + max(3 + lw, 1)
+    t_max = 3 * M + min(3 * M + up, N)
+
+    off0 = -lw + 3                       # band slot of (row 0, col 0)
+    FIELDS = ("V", "D", "GA", "GB", "J")
+    # packed f32 record matrices: one slice/gather yields all 5 fields
+    R0M = jnp.stack([jax.lax.dynamic_slice_in_dim(
+        H0[f].astype(F32), off0, r0_max + 1) for f in FIELDS], axis=1)
+    # left records by ii = 3m - n, decimated by 6 (ii is stride-6 in m
+    # for fixed t): L6[q, r] = left[6q + r - LPAD]
+    LL = off0
+    L0M = jnp.stack([H0[f][:off0 + 1][::-1].astype(F32)
+                     for f in FIELDS], axis=1)
+    LPAD = 6 * (MR + 2)
+    _lrows = LPAD + LL + 1 + 6 * (MR + 2)
+    _lrows += (-_lrows) % 6
+    L0P = jnp.zeros((_lrows, 5), F32).at[LPAD:LPAD + LL + 1].set(L0M)
+    L6 = L0P.reshape(-1, 6, 5)
+
+    # per-position signal pack, decimated by 3 for affine wave reads:
+    # cols = [trn, sigE, phs5, phs3, sig5mix, dinc3, sss3, e3idx,
+    #         A2[.,0..4]] -> v[m] = TAB[c - 3m] via a reversed slice
+    def _padded(x, fill, L):
+        x = jnp.asarray(x, F32)
+        k = min(x.shape[0], L)
+        return jnp.full(L, F32(fill)).at[:k].set(x[:k])
+    TL = N + 2
+    TABP = jnp.stack([
+        _padded(trn, 0, TL), _padded(sigE, 0, TL),
+        _padded(phs5, -2, TL), _padded(phs3, -2, TL),
+        _padded(sig5mix, 0, TL), _padded(dinc3, 0, TL),
+        _padded(sss3, 0, TL), _padded(e3idx, 4, TL),
+        _padded(A2[:, 0], 0, TL), _padded(A2[:, 1], 0, TL),
+        _padded(A2[:, 2], 0, TL), _padded(A2[:, 3], 0, TL),
+        _padded(A2[:, 4], 0, TL)], axis=1)
+    NTC = TABP.shape[1]
+    TPAD_F = 3 * (MR + 2)
+    TPAD_B = 3 * M + 8
+    _trows = TPAD_F + TL + TPAD_B
+    _trows += (-_trows) % 3
+    TP = jnp.full((_trows, NTC), F32(0.0))
+    TP = TP.at[:, 2].set(-2.0).at[:, 3].set(-2.0).at[:, 7].set(4.0)
+    TP = TP.at[TPAD_F:TPAD_F + TL].set(TABP)
+    TP3 = TP.reshape(-1, 3, NTC)
+
+    def aff3r_all(t):
+        """One slice covering the four per-wave table reads: returns
+        {dc: (MR, NTC) with row m = TABP[t + dc - 2 - 3m]} for
+        dc = 0..3 (i.e. columns t-2, t-1, t, t+1)."""
+        start = t - 2 - 3 * (MR - 1) + TPAD_F
+        B = jax.lax.dynamic_slice(TP, (start, 0), (3 * MR + 1, NTC))
+        return [B[dc::3][:MR][::-1] for dc in range(4)]
+
+    def left6_all(t):
+        """One slice covering the seven left-record reads: returns
+        {dc: (MR, 5) with row m = left[6m + dc - 3 - t]} for
+        dc = 0..6."""
+        start = LPAD - 3 - t
+        B = jax.lax.dynamic_slice(L0P, (start, 0), (6 * MR + 7, 5))
+        return [B[dc::6][:MR] for dc in range(7)]
+
+    # apia by 3m + d (d in {-1,0,1}): forward stride-3 slice
+    APAD = 6
+    _arows = APAD + apia.shape[0] + 6
+    _arows += (-_arows) % 3
+    AP = jnp.zeros(_arows, F32).at[APAD:APAD + apia.shape[0]].set(
+        apia.astype(F32))
+    AP3 = AP.reshape(-1, 3)
+
+    def aff3f(d):
+        """(MR,) with row m = apia[3m + d]."""
+        cc = d + APAD
+        r = jnp.mod(cc, 3)
+        q = (cc - r) // 3
+        return jax.lax.dynamic_slice(AP3, (q, r), (MR, 1))[:, 0]
+
+    eye3 = jnp.eye(3, dtype=jnp.bool_)
+    eye5 = jnp.eye(NCAND_H + 1, dtype=jnp.bool_)
+    nevv = jnp.full(MR, NEVSEL, F32)
+    zi = jnp.zeros(MR, I32)
+    VERT_, SLA1_, SLA2_ = I32(4), I32(5), I32(6)
+    HORI_, HOR1_, HOR2_ = I32(8), I32(9), I32(10)
+
+    def sel(stacked, k):
+        """Per-row pick from a (4, MR) or (3, MR) stack — explicit
+        select chain so XLA fuses it (no gather kernel)."""
+        out = stacked[0]
+        for j in range(1, stacked.shape[0]):
+            out = jnp.where(k == j, stacked[j], out)
+        return out
+
+    def lane3(arr, li):
+        """arr (MR, 3, ...) selected per-row by lane li — fusible."""
+        out = arr[:, 0]
+        for j in (1, 2):
+            cond = (li == j)
+            out = jnp.where(cond.reshape((MR,) + (1,) *
+                                         (out.ndim - 1)), arr[:, j],
+                            out)
+        return out
+
+    def take5(lane, idxs):
+        """lane (MR, K<=5) gathered at idxs (MR, J) — select chain."""
+        out = jnp.broadcast_to(lane[:, 0:1], idxs.shape)
+        for j in range(1, lane.shape[1]):
+            out = jnp.where(idxs == j, lane[:, j:j + 1], out)
+        return out
+
+    def unpack5(mat, use, base=None):
+        """(MR, 5) packed record -> 5 typed field vectors, applied
+        where `use` over `base` (or guards)."""
+        if base is None:
+            base = (nevv, zi, zi, zi, zi)
+        return (jnp.where(use, mat[:, 0], base[0]),
+                jnp.where(use, mat[:, 1].astype(I32), base[1]),
+                jnp.where(use, mat[:, 2].astype(I32), base[2]),
+                jnp.where(use, mat[:, 3].astype(I32), base[3]),
+                jnp.where(use, mat[:, 4].astype(I32), base[4]))
+
+    def same_row(ring, t, n, k, leftmat):
+        """(m, n-k) record from the ring at wave t-k; below-band reads
+        get the left-column init record (H lanes) or guards (ne)."""
+        nk = n - k
+        use_ring = nk >= n_first
+        out = []
+        for fi, rf in enumerate(ring):
+            guard = F32(NEVSEL) if fi == 0 else I32(0)
+            out.append(jnp.where(use_ring, rf, guard))
+        if leftmat is not None:
+            use_left = ~use_ring & (nk <= 0) \
+                & (3 * mvec - nk >= 0) & (3 * mvec - nk <= LL)
+            out = list(unpack5(leftmat, use_left, tuple(out)))
+        return tuple(out)
+
+    def row_below(ring, t, n, off, r0row, leftmat):
+        """(m-1, n-off) record from the ring at wave t-(3+off), rows
+        shifted down by one; m==1 reads the initH top row via r0row
+        (a (5,) packed record at column t-3-off)."""
+        col = n - off
+        ok = (mvec >= 2) & (col >= nf1) & (col <= nl1)
+        out = []
+        for fi, rf in enumerate(ring):
+            guard = F32(NEVSEL) if fi == 0 else I32(0)
+            out.append(jnp.where(ok, jnp.roll(rf, 1), guard))
+        if leftmat is not None:
+            ii = 3 * (mvec - 1) - col
+            use_left = ~ok & (mvec >= 2) & (col <= 0) \
+                & (ii >= 0) & (ii <= LL)
+            out = list(unpack5(leftmat, use_left, tuple(out)))
+        is1 = mvec == 1
+        if r0row is not None:
+            out[0] = jnp.where(is1, r0row[0], out[0])
+            for fi in range(1, 5):
+                out[fi] = jnp.where(is1, r0row[fi].astype(I32),
+                                    out[fi])
+        else:
+            for fi in range(len(out)):
+                guard = F32(NEVSEL) if fi == 0 else I32(0)
+                out[fi] = jnp.where(is1, guard, out[fi])
+        return tuple(out)
+
+    R0P = jnp.full((r0_max + 1 + 16, 5), F32(NEVSEL))
+    R0P = R0P.at[:, 1:].set(0.0).at[8:8 + r0_max + 1].set(R0M)
+
+    def r0_all(t):
+        """One slice covering the four top-row record reads: returns
+        {dc: (5,) packed record at column t - 6 + dc} for dc = 0..3."""
+        start = jnp.clip(t - 6 + 8, 0, R0P.shape[0] - 4)
+        B = jax.lax.dynamic_slice(R0P, (start, 0), (4, 5))
+        out = []
+        for dc in range(4):
+            c = t - 6 + dc
+            ok = (c >= 0) & (c <= r0_max)
+            row = B[dc]
+            out.append((jnp.where(ok, row[0], F32(NEVSEL)),
+                        jnp.where(ok, row[1], 0.0),
+                        jnp.where(ok, row[2], 0.0),
+                        jnp.where(ok, row[3], 0.0),
+                        jnp.where(ok, row[4], 0.0)))
+        return out
 
     def gapopen(ga, gb, d3):
         pos = (ga >= gb) & (d3 > 0)
         neg = (ga <= gb) & (d3 < 0)
         return jnp.where(pos | neg, gop, F32(0.0))
 
-    def row_step(carry, m):
-        (HV, HD, HGA, HGB, HJ, GV, GD, GGA, GGB, GJ,
-         SJV, SJD, SJGA, SJGB, SJJ, SJK) = carry
-        internal = jnp.logical_or(not a_exgr, m < M)
+    qpM = qprof[:MR]                       # row m -> qprof[m]
+    qp1M = qprof[1:MR + 1]
+
+    aa26 = jnp.arange(tron.TSIMD, dtype=I32)
+
+    def qprow(prof, aa):
+        """Per-row profile lookup as a fusible one-hot contraction."""
+        oh = (aa[..., None] == aa26).astype(F32)
+        if aa.ndim == 1:
+            return jnp.sum(prof * oh, axis=-1)
+        return jnp.sum(prof[:, None, :] * oh, axis=-1)
+
+    def is_diag_d(x):
+        x = x & 15
+        return (x == DIAG) | (x == NEWD)
+
+    def is_vert_d(x):
+        x = x & 15
+        return ((x >= 4) & (x <= 7)) | (x == 12)
+
+    def is_hori_d(x):
+        x = x & 15
+        return ((x >= 8) & (x <= 11)) | (x == 13)
+
+    def d2n_of(x):
+        """DIR2NOD as a fused select chain (aln.h:42)."""
+        x = x & 15
+        out = jnp.full_like(x, -1)
+        out = jnp.where((x == DIAG) | (x == NEWD), 0, out)
+        out = jnp.where(((x >= 8) & (x <= 10)) | (x == 13), 1, out)
+        out = jnp.where(((x >= 4) & (x <= 6)) | (x == 12), 2, out)
+        out = jnp.where(x == 11, 3, out)
+        out = jnp.where(x == 7, 4, out)
+        return out
+
+    # e1 pre-init record (fwd2h.h: m==1 && !b_exgl): injected at the
+    # single wave where row 1 first reads phase slot 2
+    if not b_exgl:
+        n1_ = 3 + lw
+        n0_ = max(n1_ - 1, 0)
+        r_pre = n0_ + 1 - 3
+        s_pre = min(max(r_pre - lw + 3, 0), W + 5)
+        e1pre = (gap_w3, H0["D"][s_pre], H0["GA"][s_pre],
+                 H0["GB"][s_pre], H0["J"][s_pre])
+        e1pre_t = int(max(n0_ + 1, 1) + 2 + 3)   # wave of n_first+2
+    else:
+        e1pre = None
+        e1pre_t = -1
+
+    def list_get(arr, li, idx):
+        lane = jnp.take_along_axis(arr, li[:, None, None],
+                                   axis=1)[:, 0, :]
+        return jnp.take_along_axis(lane, idx[:, None], axis=1)[:, 0]
+
+    def wave_step(carry, t):
+        (Hh, Neh, Gh, SJh,
+         clV, clJ, clD, clCS, nxs, ncands, bandV, bandD) = carry
+        n = t - 3 * mvec
+        valid = (mvec >= 1) & (n >= n_first) & (n <= n_last)
+        internal = internal_v
         pua = jnp.where(internal, gep, F32(0.0))
-        n_first = jnp.maximum(3 * m + lw, 1)
-        n_last = jnp.minimum(3 * m + up, N)
-        qp = qprof[m]
-        qp1 = qprof[m + 1]
+        ni = jnp.clip(n, 0, N)
+        nm2 = jnp.clip(n - 2, 0, N - 1)
 
-        # e1 pre-init (fwd2h.h: m==1 && !b_exgl)
-        e1V0 = jnp.full(3, NEVSEL, F32)
-        e1D0 = jnp.zeros(3, I32)
-        e1GA0 = jnp.zeros(3, I32)
-        e1GB0 = jnp.zeros(3, I32)
-        e1J0 = jnp.zeros(3, I32)
-        if not b_exgl:
-            r_pre = n_first - 3 * m
-            s_pre = jnp.clip(r_pre - lw + 3, 0, W + 5)
-            use = (m == 1)
-            e1V0 = e1V0.at[2].set(jnp.where(use, gap_w3, e1V0[2]))
-            e1D0 = e1D0.at[2].set(jnp.where(use, HD[s_pre], e1D0[2]))
-            e1GA0 = e1GA0.at[2].set(jnp.where(use, HGA[s_pre], e1GA0[2]))
-            e1GB0 = e1GB0.at[2].set(jnp.where(use, HGB[s_pre], e1GB0[2]))
-            e1J0 = e1J0.at[2].set(jnp.where(use, HJ[s_pre], e1J0[2]))
+        # affine per-position table reads: ONE slice each for the
+        # signal pack, the left records and the top-row records
+        TBm2, TBm1, TB0, TBp1 = aff3r_all(t)
+        LB = left6_all(t)
+        RB = r0_all(t)
 
-        def cell(ic, s):
-            (e1V, e1D, e1GA, e1GB, e1J,
-             clV, clJ, clD, clCS, nxs, ncands) = ic
-            n = 3 * m + lw + (s - 3)
-            valid = (n >= n_first) & (n <= n_last)
-            q = jnp.where(valid, (n - n_first) % 3, 0)
-            ni = jnp.clip(n, 0, N)
-            nm1 = jnp.clip(n - 1, 0, N)
-            nm2 = jnp.clip(n - 2, 0, N - 1)
+        hq = row_below(Hh[5], t, n, 3, RB[0], LB[0])   # (m-1, n-3)
+        f1 = row_below(Hh[4], t, n, 2, RB[1], LB[1])   # (m-1, n-2)
+        f2 = row_below(Hh[3], t, n, 1, RB[2], LB[2])   # (m-1, n-1)
+        f3 = row_below(Hh[2], t, n, 0, RB[3], LB[3])   # (m-1, n)
+        gdep = row_below(Gh[2], t, n, 0, None, None)   # G (m-1, n)
+        sjr = row_below(SJh[5], t, n, 3, None, None)   # SJ (m-1, n-3)
+        b1 = same_row(Hh[0], t, n, 1, LB[4])           # (m, n-1)
+        b2 = same_row(Hh[1], t, n, 2, LB[5])           # (m, n-2)
+        b3 = same_row(Hh[2], t, n, 3, LB[6])           # (m, n-3)
+        eq = same_row(Neh[2], t, n, 3, None)           # ne (m, n-3)
+        if e1pre is not None:
+            use = (mvec == 1) & (t == e1pre_t)
+            eq = tuple(jnp.where(use, p, e)
+                       for e, p in zip(eq, e1pre))
 
-            hqV, hqD, hqGA, hqGB, hqJ = (HV[s], HD[s], HGA[s], HGB[s],
-                                         HJ[s])
-            sjV, sjDv, sjGA_, sjGB_, sjJ_, sjK_ = (SJV[s], SJD[s],
-                                                   SJGA[s], SJGB[s],
-                                                   SJJ[s], SJK[s])
-            sE = jnp.where(n >= 2, sigE[nm2], F32(0.0))
+        hqV, hqD = hq[0], hq[1]
+        sjV, sjDv, sjGA_, sjGB_, sjJ_, sjK_ = sjr
+        sE = jnp.where(n >= 2, TBm2[:, 1], F32(0.0))
 
-            # ---- diagonal (or sj crossing) -------------------------
-            sj_used = (sjDv != 0) & (n > 2)
-            dv = qp[trn[nm2]] + sE
-            hV = jnp.where(sj_used, sjV, hqV + dv)
-            hGA = jnp.where(sj_used, sjGA_, I32(0))
-            hGB = jnp.where(sj_used, sjGB_, I32(0))
-            hJ = jnp.where(sj_used, sjJ_, hqJ)
-            hDsrc = jnp.where(sj_used, sjDv, hqD)
-            hD = jnp.where(dmask[hDsrc & 15] == 1, I32(DIAG), I32(NEWD))
-            bad = n <= 2
-            hV = jnp.where(bad, F32(NEVSEL), hV)
-            hD = jnp.where(bad, I32(0), hD)
-            hGA = jnp.where(bad, I32(0), hGA)
-            hGB = jnp.where(bad, I32(0), hGB)
-            hJ = jnp.where(bad, I32(0), hJ)
+        # ---- diagonal (or sj crossing) -----------------------------
+        sj_used = (sjDv != 0) & (n > 2)
+        dv = qprow(qpM, TBm2[:, 0].astype(I32)) + sE
+        hV = jnp.where(sj_used, sjV, hqV + dv)
+        hGA = jnp.where(sj_used, sjGA_, I32(0))
+        hGB = jnp.where(sj_used, sjGB_, I32(0))
+        hJ = jnp.where(sj_used, sjJ_, hq[4])
+        hDsrc = jnp.where(sj_used, sjDv, hqD)
+        hD = jnp.where(is_diag_d(hDsrc), I32(DIAG), I32(NEWD))
+        bad = n <= 2
+        hV = jnp.where(bad, F32(NEVSEL), hV)
+        hD = jnp.where(bad, I32(0), hD)
+        hGA = jnp.where(bad, I32(0), hGA)
+        hGB = jnp.where(bad, I32(0), hGB)
+        hJ = jnp.where(bad, I32(0), hJ)
 
-            # ---- vertical + frameshift deletions -------------------
-            c0 = GV[s + 3] + gapopen(GGA[s + 3], GGB[s + 3], 3)
-            f1V_, f1D_ = HV[s + 1], HD[s + 1]
-            c1 = f1V_ + jnp.where(vmask[f1D_ & 15] == 1, gap_e1, gap_w1)
-            f2V_, f2D_ = HV[s + 2], HD[s + 2]
-            c2 = f2V_ + jnp.where(vmask[f2D_ & 15] == 1, gap_e2, gap_w2)
-            f3gop = gapopen(HGA[s + 3], HGB[s + 3], 3)
-            c3 = HV[s + 3] + f3gop
-            cands = jnp.stack([c0, c1, c2, c3])
-            vk = jnp.argmax(cands).astype(I32)
-            srcV = jnp.stack([GV[s + 3], f1V_, f2V_, HV[s + 3]])[vk]
-            srcD = jnp.stack([GD[s + 3], f1D_, f2D_, HD[s + 3]])[vk]
-            srcGB = jnp.stack([GGB[s + 3], HGB[s + 1], HGB[s + 2],
-                               HGB[s + 3]])[vk]
-            srcJ = jnp.stack([GJ[s + 3], HJ[s + 1], HJ[s + 2],
-                              HJ[s + 3]])[vk]
-            d3v = jnp.where(vk == 0, 3, vk)
-            gV = cands[vk] + pua
-            gGA = I32(0)
-            gGB = srcGB + d3v
-            gJ = srcJ
-            gD = jnp.asarray(_V3)[vk] | (srcD & SPIN)
+        # ---- vertical + frameshift deletions -----------------------
+        c0 = gdep[0] + gapopen(gdep[2], gdep[3], 3)
+        c1 = f1[0] + jnp.where(is_vert_d(f1[1]), gap_e1, gap_w1)
+        c2 = f2[0] + jnp.where(is_vert_d(f2[1]), gap_e2, gap_w2)
+        c3 = f3[0] + gapopen(f3[2], f3[3], 3)
+        cands = jnp.stack([c0, c1, c2, c3])
+        vk = jnp.argmax(cands, axis=0).astype(I32)
+        srcD = sel(jnp.stack([gdep[1], f1[1], f2[1], f3[1]]), vk)
+        srcGB = sel(jnp.stack([gdep[3], f1[3], f2[3], f3[3]]), vk)
+        srcJ = sel(jnp.stack([gdep[4], f1[4], f2[4], f3[4]]), vk)
+        d3v = jnp.where(vk == 0, 3, vk)
+        gV = sel(cands, vk) + pua
+        gGA = zi
+        gGB = srcGB + d3v
+        gJ = srcJ
+        gD = jnp.where(vk == 1, SLA1_, jnp.where(vk == 2, SLA2_, VERT_)) \
+            | (srcD & SPIN)
 
-            # ---- horizontal + frameshift insertions ----------------
-            eqV = e1V[q]
-            eqD = e1D[q]
-            eqGA = e1GA[q]
-            eqGB = e1GB[q]
-            eqJ = e1J[q]
-            h3gop = gapopen(HGA[s - 3], HGB[s - 3], -3)
-            hc0 = jnp.where(n > 2, eqV, F32(NEVSEL))
-            hc3 = jnp.where(n > 2, HV[s - 3] + h3gop, F32(NEVSEL))
-            hc2 = jnp.where(n > 1, HV[s - 2]
-                            + jnp.where(hmask[HD[s - 2] & 15] == 1,
-                                        gap_e2, gap_w2), F32(NEVSEL))
-            hc1 = HV[s - 1] + jnp.where(hmask[HD[s - 1] & 15] == 1,
-                                        gap_e1, gap_w1)
-            hcands = jnp.stack([hc0, hc1, hc2, hc3])
-            hk = jnp.argmax(hcands).astype(I32)
-            hsrcV = jnp.stack([eqV, HV[s - 1], HV[s - 2], HV[s - 3]])[hk]
-            hsrcD = jnp.stack([eqD, HD[s - 1], HD[s - 2], HD[s - 3]])[hk]
-            hsrcGA = jnp.stack([eqGA, HGA[s - 1], HGA[s - 2],
-                                HGA[s - 3]])[hk]
-            hsrcJ = jnp.stack([eqJ, HJ[s - 1], HJ[s - 2], HJ[s - 3]])[hk]
-            x = hcands[hk] - hsrcV + gep + sE
-            d3h = jnp.where(hk == 0, 3, hk)
-            neV = hsrcV + x
-            neGA = hsrcGA + d3h
-            neGB = I32(0)
-            neJ = hsrcJ
-            spin = hsrcD & SPIN
-            neD = jnp.asarray(_H3)[hk] | spin
+        # ---- horizontal + frameshift insertions --------------------
+        h3gop = gapopen(b3[2], b3[3], -3)
+        hc0 = jnp.where(n > 2, eq[0], F32(NEVSEL))
+        hc3 = jnp.where(n > 2, b3[0] + h3gop, F32(NEVSEL))
+        hc2 = jnp.where(n > 1, b2[0]
+                        + jnp.where(is_hori_d(b2[1]),
+                                    gap_e2, gap_w2), F32(NEVSEL))
+        hc1 = b1[0] + jnp.where(is_hori_d(b1[1]), gap_e1, gap_w1)
+        hcands = jnp.stack([hc0, hc1, hc2, hc3])
+        hk = jnp.argmax(hcands, axis=0).astype(I32)
+        hsrcV = sel(jnp.stack([eq[0], b1[0], b2[0], b3[0]]), hk)
+        hsrcD = sel(jnp.stack([eq[1], b1[1], b2[1], b3[1]]), hk)
+        hsrcGA = sel(jnp.stack([eq[2], b1[2], b2[2], b3[2]]), hk)
+        hsrcJ = sel(jnp.stack([eq[4], b1[4], b2[4], b3[4]]), hk)
+        x = sel(hcands, hk) - hsrcV + gep + sE
+        d3h = jnp.where(hk == 0, 3, hk)
+        neV = hsrcV + x
+        neGA = hsrcGA + d3h
+        neGB = zi
+        neJ = hsrcJ
+        spin = hsrcD & SPIN
+        neD = jnp.where(hk == 1, HOR1_, jnp.where(hk == 2, HOR2_, HORI_)) \
+            | spin
 
-            # ---- running max ---------------------------------------
-            w = I32(0)
-            mxV = hV
-            w = jnp.where(gV > mxV, I32(2), w)
-            mxV = jnp.maximum(gV, mxV)
-            w = jnp.where(neV >= mxV, I32(1), w)
-            mxV = jnp.maximum(neV, mxV)
+        # ---- running max -------------------------------------------
+        w = zi
+        mxV = hV
+        w = jnp.where(gV > mxV, I32(2), w)
+        mxV = jnp.maximum(gV, mxV)
+        w = jnp.where(neV >= mxV, I32(1), w)
+        mxV = jnp.maximum(neV, mxV)
 
-            # ---- 3' acceptor merges (per phase) --------------------
-            jx = jnp.zeros(3, jnp.bool_)
-            jdon = jnp.zeros(4, I32)
-            jcs = jnp.zeros(3, jnp.bool_)
-            jnb = jnp.zeros(3, I32)       # frm[J] = nb per merged lane
-            lvV = jnp.stack([hV, neV, gV])
-            sj_nV, sj_nD = F32(NEVSEL), I32(0)
-            sj_nJ, sj_nK = I32(0), I32(0)
-            sj_nGA, sj_nGB = I32(0), I32(0)
-            sj_set = jnp.bool_(False)
-            sj_clr = jnp.bool_(False)
-            p3 = phs3[ni]
-            has_acc = valid & internal & (n < N) & (p3 != -2)
-            for pi in range(2):
-                if pi == 0:
-                    phs = jnp.where(p3 == 2, I32(-1), p3.astype(I32))
-                    ap = has_acc
-                else:
-                    phs = I32(1)
-                    ap = has_acc & (p3 == 2)
-                nb = n - phs
-                nbi = jnp.clip(nb, 0, N)
-                sigJ = apia[jnp.clip(3 * m - phs, 0,
-                                     apia.shape[0] - 1)]
-                li = jnp.clip(phs + 1, 0, 2)
-                merged0 = jnp.bool_(False)
-                for l in range(NCAND_H):
-                    idx = nxs[li, l]
-                    act = ap & (l < ncands[li])
-                    cV = clV[li, idx]
-                    cJ = clJ[li, idx]
-                    cD = clD[li, idx]
-                    cCS = clCS[li, idx]
-                    xm = (cV + sigJ + _penalty(pen_pack, nb - cJ)
-                          + pair53[dinc5[jnp.clip(cJ, 0, N)],
-                                   dinc3[nbi]] + sss3[nbi])
-                    # phase-1 chimeric codon into this row
-                    aa1 = A1[jnp.clip(cJ, 0, N), e3idx[nbi]]
-                    pm1 = jnp.where((aa1 == tron.TRM) | (aa1 == tron.TRM2),
-                                    fO, F32(0.0))
-                    xm = xm + jnp.where((cD == 0) & (phs == 1),
-                                        pm1 + qp[aa1], F32(0.0))
-                    # phase-2: sj shadow candidate
-                    aa2 = A2[nbi, r1idx[jnp.clip(cJ, 0, N)]]
-                    pm2 = jnp.where((aa2 == tron.TRM) | (aa2 == tron.TRM2),
-                                    fO, F32(0.0))
-                    y = xm + pm2 + qp1[aa2]
-                    nxt_aa = jnp.where(n + 1 < N, trn[jnp.clip(n + 1, 0,
-                                                               N - 1)],
-                                       I32(ab.AMB))
-                    sj_cand = (act & (cD == 0) & (phs == -1)
-                               & (y > mxV + qp1[nxt_aa]))
-                    sj_nV = jnp.where(sj_cand, y, sj_nV)
-                    sj_nJ = jnp.where(sj_cand, nb, sj_nJ)
-                    sj_nK = jnp.where(sj_cand, cJ + phs, sj_nK)
-                    sj_set = sj_set | sj_cand
-                    lane = jnp.clip(cD, 0, 2)
-                    better = act & (xm > lvV[lane])
-                    lvV = jnp.where(better, lvV.at[lane].set(xm), lvV)
-                    jx = jnp.where(better, jx.at[lane].set(True), jx)
-                    jdon = jnp.where(better,
-                                     jdon.at[lane].set(cJ + phs), jdon)
-                    jnb = jnp.where(better, jnb.at[lane].set(nb), jnb)
-                    jcs = jnp.where(better & (lane == 0),
-                                    jcs.at[0].set(cCS != 0), jcs)
-                    merged0 = merged0 | (better & (lane == 0))
-                sj_clr = sj_clr | (ap & (phs == -1) & merged0)
-                # merged lanes contest mx (strict, lane order)
-                mxV = lvV[w]
-                for k in range(3):
-                    upd = jx[k] & (lvV[k] > mxV)
-                    w = jnp.where(upd, I32(k), w)
-                    mxV = jnp.where(upd, lvV[k], mxV)
-            hV, neV, gV = lvV[0], lvV[1], lvV[2]
-            hD = jnp.where(jx[0], hD | SPJCI, hD)
-            hJ = jnp.where(jx[0], jnb[0], hJ)
-            neD = jnp.where(jx[1], neD | SPJCI, neD)
-            neJ = jnp.where(jx[1], jnb[1], neJ)
-            gD = jnp.where(jx[2], gD | SPJCI, gD)
-            gJ = jnp.where(jx[2], jnb[2], gJ)
-            sj_on = sj_set & ~sj_clr
-            nsjV = jnp.where(sj_on, sj_nV, F32(NEVSEL))
-            nsjD = jnp.where(sj_on, I32(NEWD), I32(0))
-            nsjJ = jnp.where(sj_on, sj_nJ, I32(0))
-            nsjK = jnp.where(sj_on, sj_nK, I32(0))
-            nsjGA = I32(0)
-            nsjGB = I32(0)
+        # ---- 3' acceptor merges (per phase) ------------------------
+        jx = jnp.zeros((3, MR), jnp.bool_)
+        jdon = jnp.zeros((4, MR), I32)
+        jcs0 = jnp.zeros(MR, jnp.bool_)
+        jnb = jnp.zeros((3, MR), I32)
+        lvV = jnp.stack([hV, neV, gV])
+        sj_nV, sj_nJ, sj_nK = nevv, zi, zi
+        sj_set = jnp.zeros(MR, jnp.bool_)
+        sj_clr = jnp.zeros(MR, jnp.bool_)
+        p3 = TB0[:, 3].astype(I32)
+        has_acc = valid & internal & (n < N) & (p3 != -2)
+        nxt_aa = jnp.where(n + 1 < N, TBp1[:, 0].astype(I32),
+                           I32(ab.AMB))
+        qp1_nxt = qprow(qp1M, nxt_aa)
+        api_m1 = aff3f(-1)       # apia[3m - 1]  (phs = 1)
+        api_0 = aff3f(0)
+        api_p1 = aff3f(1)        # apia[3m + 1]  (phs = -1)
+        for pi in range(2):
+            if pi == 0:
+                phs = jnp.where(p3 == 2, I32(-1), p3.astype(I32))
+                ap = has_acc
+            else:
+                phs = jnp.full(MR, 1, I32)
+                ap = has_acc & (p3 == 2)
+            nb = n - phs
+            is_p1 = phs == 1
+            is_m1 = phs == -1
+            VAR = jnp.where(is_p1[:, None], TBm1,
+                            jnp.where(is_m1[:, None], TBp1, TB0))
+            dinc3v = VAR[:, 5].astype(I32)
+            sss3v = VAR[:, 6]
+            e3v = VAR[:, 7].astype(I32)
+            A2row = VAR[:, 8:13].astype(I32)      # (MR, 5)
+            sigJ = jnp.where(is_p1, api_m1,
+                             jnp.where(is_m1, api_p1, api_0))
+            li = jnp.clip(phs + 1, 0, 2)
+            # all NCAND_H ranked candidates at once (rank axis = 4)
+            nxrow = lane3(nxs, li)[:, :NCAND_H]
+            laneV = lane3(clV, li)
+            laneJ = lane3(clJ, li)
+            laneD = lane3(clD, li)
+            laneCS = lane3(clCS, li)
+            nc_li = lane3(ncands, li)
+            cV = take5(laneV, nxrow)
+            cJ = take5(laneJ, nxrow)
+            cD = take5(laneD, nxrow)
+            cCS = take5(laneCS, nxrow)
+            act = ap[:, None] & (jnp.arange(NCAND_H)[None, :]
+                                 < nc_li[:, None])      # (MR, 4)
+            cJc = jnp.clip(cJ, 0, N)
+            xm = (cV + sigJ[:, None]
+                  + _penalty(pen_pack, nb[:, None] - cJ)
+                  + pair53[dinc5[cJc], dinc3v[:, None]]
+                  + sss3v[:, None])
+            aa1 = A1[cJc, e3v[:, None]]
+            pm1 = jnp.where((aa1 == tron.TRM) | (aa1 == tron.TRM2),
+                            fO, F32(0.0))
+            qa1 = qprow(qpM, aa1)
+            xm = xm + jnp.where((cD == 0) & is_p1[:, None],
+                                pm1 + qa1, F32(0.0))
+            aa2 = take5(A2row, r1idx[cJc])
+            pm2 = jnp.where((aa2 == tron.TRM) | (aa2 == tron.TRM2),
+                            fO, F32(0.0))
+            qa2 = qprow(qp1M, aa2)
+            y = xm + pm2 + qa2
+            # sj shadow: LAST qualifying rank wins (the oracle
+            # overwrites sj per qualifying candidate in rank order)
+            sj_q = (act & (cD == 0) & is_m1[:, None]
+                    & (y > (mxV + qp1_nxt)[:, None]))
+            any_sj = jnp.any(sj_q, axis=1)
+            last = (NCAND_H - 1
+                    - jnp.argmax(sj_q[:, ::-1], axis=1)).astype(I32)
+            lastc = jnp.clip(last, 0, NCAND_H - 1)[:, None]
+            sj_nV = jnp.where(any_sj, take5(y, lastc)[:, 0], sj_nV)
+            sj_nJ = jnp.where(any_sj, nb, sj_nJ)
+            sj_nK = jnp.where(any_sj,
+                              take5(cJ, lastc)[:, 0] + phs, sj_nK)
+            sj_set = sj_set | any_sj
+            # per-lane best candidate: ranked order = descending value,
+            # strict `>` updates, so the FIRST rank achieving the
+            # masked max wins (argmax tie -> lowest rank)
+            for lane in range(3):
+                inlane = act & (cD == lane)
+                xmm = jnp.where(inlane, xm, F32(NEVSEL))
+                best = jnp.argmax(xmm, axis=1)[:, None]
+                bx = jnp.max(xmm, axis=1)
+                better = jnp.any(inlane, axis=1) & (bx > lvV[lane])
+                lvV = lvV.at[lane].set(jnp.where(better, bx,
+                                                 lvV[lane]))
+                jx = jx.at[lane].set(jx[lane] | better)
+                bJ = take5(cJ, best)[:, 0]
+                jdon = jdon.at[lane].set(
+                    jnp.where(better, bJ + phs, jdon[lane]))
+                jnb = jnb.at[lane].set(jnp.where(better, nb,
+                                                 jnb[lane]))
+                if lane == 0:
+                    bCS = take5(cCS, best)[:, 0]
+                    jcs0 = jnp.where(better, bCS != 0, jcs0)
+                    merged0 = better
+            sj_clr = sj_clr | (ap & is_m1 & merged0)
+            mxV = sel(lvV, w)
+            for k in range(3):
+                upd = jx[k] & (lvV[k] > mxV)
+                w = jnp.where(upd, I32(k), w)
+                mxV = jnp.where(upd, lvV[k], mxV)
+        hV, neV, gV = lvV[0], lvV[1], lvV[2]
+        hD = jnp.where(jx[0], hD | SPJCI, hD)
+        hJ = jnp.where(jx[0], jnb[0], hJ)
+        neD = jnp.where(jx[1], neD | SPJCI, neD)
+        neJ = jnp.where(jx[1], jnb[1], neJ)
+        gD = jnp.where(jx[2], gD | SPJCI, gD)
+        gJ = jnp.where(jx[2], jnb[2], gJ)
+        sj_on = sj_set & ~sj_clr
 
-            # ---- write the cell record ------------------------------
-            cVx = jnp.stack([hV, neV, gV])[w]
-            cDx = jnp.stack([hD, neD, gD])[w]
-            cGAx = jnp.stack([hGA, neGA, gGA])[w]
-            cGBx = jnp.stack([hGB, neGB, gGB])[w]
-            cJx = jnp.stack([hJ, neJ, gJ])[w]
+        # ---- write the cell record ---------------------------------
+        cVx = sel(jnp.stack([hV, neV, gV]), w)
+        cDx = sel(jnp.stack([hD, neD, gD]), w)
+        cGAx = sel(jnp.stack([hGA, neGA, gGA]), w)
+        cGBx = sel(jnp.stack([hGB, neGB, gGB]), w)
+        cJx = sel(jnp.stack([hJ, neJ, gJ]), w)
 
-            # ---- 5' donor pushes (per phase) ------------------------
-            p5 = phs5[ni]
-            has_don = valid & internal & (n < N) & (p5 != -2)
-            lvV2 = jnp.stack([cVx, neV, gV])
-            lvD2 = jnp.stack([cDx, neD, gD])
-            lvGA2 = jnp.stack([cGAx, neGA, gGA])
-            lvGB2 = jnp.stack([cGBx, neGB, gGB])
-            lvJ2 = jnp.stack([cJx, neJ, gJ])
-            hd = d2n[cDx & 15]
-            for pi in range(2):
-                if pi == 0:
-                    phs = jnp.where(p5 == 2, I32(-1), p5.astype(I32))
-                    dp = has_don
-                else:
-                    phs = I32(1)
-                    dp = has_don & (p5 == 2)
-                nb = n - phs
-                sigJ = sig5mix[jnp.clip(nb, 0, N)]
-                li = jnp.clip(phs + 1, 0, 2)
-                for k in range(3):
-                    kk = I32(k)
-                    crossspj = (phs == 1) & (k == 0)
-                    ok = dp
-                    if k == 0:
-                        ok = ok & ((hd == 0) | (phs == 1))
-                    fV = jnp.where(crossspj, hqV, lvV2[k])
-                    fD = jnp.where(crossspj, hqD, lvD2[k])
-                    ok = ok & (fD != 0) & ((fD & SPIN) == 0)
-                    thr_on = ~crossspj & (kk != hd) & (hd >= 0)
-                    y = mxV + jnp.where(
-                        (hd == 0) | (((kk - hd) % 2) != 0),
-                        jnp.where(kk // 2 == 1, gop, F32(0.0)),
-                        F32(0.0))
-                    ok = ok & jnp.where(thr_on, fV > y, True)
-                    xp = fV + sigJ
-                    ncl = ncands[li]
-                    nc1 = jnp.minimum(ncl + 1, NCAND_H)
-                    l_start = jnp.where(ncl < NCAND_H, ncl + 1,
-                                        I32(NCAND_H))
-                    pos = I32(0)
-                    broken = jnp.logical_not(ok)
-                    nxrow = nxs[li]
-                    for l in range(NCAND_H - 1, -1, -1):
-                        active = (l < l_start) & ~broken
-                        gt = xp > clV[li, nxrow[l]]
-                        do_swap = active & gt
-                        tl = nxrow[l]
-                        tl1 = nxrow[l + 1]
-                        nxrow = nxrow.at[l].set(jnp.where(do_swap, tl1,
-                                                          tl))
-                        nxrow = nxrow.at[l + 1].set(jnp.where(do_swap,
-                                                              tl, tl1))
-                        stop = active & ~gt
-                        pos = jnp.where(stop, I32(l + 1), pos)
-                        broken = broken | stop
-                    accept = ok & (pos < INTR)
-                    slot = nxrow[jnp.clip(pos, 0, NCAND_H)]
-                    clV = jnp.where(accept,
-                                    clV.at[li, slot].set(xp), clV)
-                    clJ = jnp.where(accept,
-                                    clJ.at[li, slot].set(nb), clJ)
-                    clD = jnp.where(accept,
-                                    clD.at[li, slot].set(kk), clD)
-                    clCS = jnp.where(accept,
-                                     clCS.at[li, slot].set(
-                                         jnp.where(crossspj, 1, 0)),
-                                     clCS)
-                    nxs = jnp.where(ok, nxs.at[li].set(nxrow), nxs)
-                    ncands = jnp.where(
-                        ok, ncands.at[li].set(
-                            jnp.where(accept, nc1, nc1 - 1)), ncands)
+        # ---- 5' donor pushes (per phase) ---------------------------
+        p5 = TB0[:, 2].astype(I32)
+        has_don = valid & internal & (n < N) & (p5 != -2)
+        lvV2 = jnp.stack([cVx, neV, gV])
+        lvD2 = jnp.stack([cDx, neD, gD])
+        hd = d2n_of(cDx)
+        jidx5 = jnp.arange(NCAND_H + 1)[None, :]
+        for pi in range(2):
+            if pi == 0:
+                phs = jnp.where(p5 == 2, I32(-1), p5.astype(I32))
+                dp = has_don
+            else:
+                phs = jnp.full(MR, 1, I32)
+                dp = has_don & (p5 == 2)
+            nb = n - phs
+            is_p1 = phs == 1
+            is_m1 = phs == -1
+            sigJ = jnp.where(is_p1, TBm1[:, 4],
+                             jnp.where(is_m1, TBp1[:, 4], TB0[:, 4]))
+            li = jnp.clip(phs + 1, 0, 2)
+            li1h = li[:, None] == jnp.arange(3)        # (MR, 3)
+            # lane views, updated across the 3 source lanes then
+            # written back once per phase
+            nxrow = lane3(nxs, li)
+            laneV = lane3(clV, li)
+            laneJ = lane3(clJ, li)
+            laneD = lane3(clD, li)
+            laneCS = lane3(clCS, li)
+            ncl = lane3(ncands, li)
+            touched = jnp.zeros(MR, jnp.bool_)
+            for k in range(3):
+                kk = I32(k)
+                crossspj = is_p1 & (k == 0)
+                ok = dp
+                if k == 0:
+                    ok = ok & ((hd == 0) | is_p1)
+                fV = jnp.where(crossspj, hqV, lvV2[k])
+                fD = jnp.where(crossspj, hqD, lvD2[k])
+                ok = ok & (fD != 0) & ((fD & SPIN) == 0)
+                thr_on = ~crossspj & (kk != hd) & (hd >= 0)
+                y = mxV + jnp.where(
+                    (hd == 0) | (((kk - hd) % 2) != 0),
+                    jnp.where(k // 2 == 1, gop, F32(0.0)),
+                    F32(0.0))
+                ok = ok & jnp.where(thr_on, fV > y, True)
+                xp = fV + sigJ
+                nc1 = jnp.minimum(ncl + 1, NCAND_H)
+                l_start = jnp.where(ncl < NCAND_H, ncl + 1,
+                                    I32(NCAND_H))
+                # ranked values are nonincreasing: insertion position
+                # = #{j < l_start : vals[j] >= xp} (the swap loop's
+                # stopping point); the permutation rotates
+                # nxrow[l_start] into `pos`
+                vals = take5(laneV, nxrow)
+                pos = jnp.sum((jidx5 < l_start[:, None])
+                              & (vals >= xp[:, None]),
+                              axis=1).astype(I32)
+                at_ls = take5(nxrow, l_start[:, None])[:, 0]
+                shifted = jnp.concatenate(
+                    [nxrow[:, :1], nxrow[:, :-1]], axis=1)
+                new_nx = jnp.where(
+                    jidx5 < pos[:, None], nxrow,
+                    jnp.where(jidx5 == pos[:, None], at_ls[:, None],
+                              jnp.where(jidx5 <= l_start[:, None],
+                                        shifted, nxrow)))
+                accept = ok & (pos < INTR)
+                slot1h = (at_ls[:, None]
+                          == jnp.arange(NCAND_H + 1)) \
+                    & accept[:, None]
+                laneV = jnp.where(slot1h, xp[:, None], laneV)
+                laneJ = jnp.where(slot1h, nb[:, None], laneJ)
+                laneD = jnp.where(slot1h, kk, laneD)
+                laneCS = jnp.where(
+                    slot1h, jnp.where(crossspj, I32(1),
+                                      I32(0))[:, None], laneCS)
+                nxrow = jnp.where(ok[:, None], new_nx, nxrow)
+                ncl = jnp.where(ok, jnp.where(accept, nc1, nc1 - 1),
+                                ncl)
+                touched = touched | ok
+            wb = (li1h & touched[:, None])[:, :, None]
+            clV = jnp.where(wb, laneV[:, None, :], clV)
+            clJ = jnp.where(wb, laneJ[:, None, :], clJ)
+            clD = jnp.where(wb, laneD[:, None, :], clD)
+            clCS = jnp.where(wb, laneCS[:, None, :], clCS)
+            nxs = jnp.where(wb, nxrow[:, None, :], nxs)
+            ncands = jnp.where(li1h & touched[:, None],
+                               ncl[:, None], ncands)
 
-            ev = (w | jnp.where(sj_used, EVH_SJ, 0)
-                  | (vk << 3) | (hk << 5)
-                  | jnp.where(jx[0], EVH_JXH, 0)
-                  | jnp.where(jx[1], EVH_JXF, 0)
-                  | jnp.where(jx[2], EVH_JXG, 0)
-                  | jnp.where(jcs[0], EVH_CSH, 0))
-            ev = jnp.where(valid, ev, I32(-1))
-            jdon = jdon.at[3].set(jnp.where(sj_used, sjK_, I32(0)))
+        ev = (w | jnp.where(sj_used, EVH_SJ, 0)
+              | (vk << 3) | (hk << 5)
+              | jnp.where(jx[0], EVH_JXH, 0)
+              | jnp.where(jx[1], EVH_JXF, 0)
+              | jnp.where(jx[2], EVH_JXG, 0)
+              | jnp.where(jcs0, EVH_CSH, 0))
+        ev = jnp.where(valid, ev, I32(-1)).astype(jnp.int16)
+        jdon = jdon.at[3].set(jnp.where(sj_used, sjK_, I32(0)))
 
-            # e1 ring writeback
-            e1V = e1V.at[q].set(jnp.where(valid, neV, e1V[q]))
-            e1D = e1D.at[q].set(jnp.where(valid, neD, e1D[q]))
-            e1GA = e1GA.at[q].set(jnp.where(valid, neGA, e1GA[q]))
-            e1GB = e1GB.at[q].set(jnp.where(valid, neGB, e1GB[q]))
-            e1J = e1J.at[q].set(jnp.where(valid, neJ, e1J[q]))
+        newH = (cVx, cDx, cGAx, cGBx, cJx)
+        newNe = (neV, neD, neGA, neGB, neJ)
+        newG = (gV, gD, gGA, gGB, gJ)
+        newSJ = (jnp.where(sj_on, sj_nV, F32(NEVSEL)),
+                 jnp.where(sj_on, I32(NEWD), I32(0)),
+                 zi, zi,
+                 jnp.where(sj_on, sj_nJ, I32(0)),
+                 jnp.where(sj_on, sj_nK, I32(0)))
+        Hh2 = (newH,) + Hh[:5]
+        Neh2 = (newNe,) + Neh[:2]
+        Gh2 = (newG,) + Gh[:2]
+        SJh2 = (newSJ,) + SJh[:5]
 
-            outH = tuple(jnp.where(valid, a, o) for a, o in
-                         zip((cVx, cDx, cGAx, cGBx, cJx),
-                             (HV[s], HD[s], HGA[s], HGB[s], HJ[s])))
-            outG = tuple(jnp.where(valid, a, o) for a, o in
-                         zip((gV, gD, gGA, gGB, gJ),
-                             (GV[s], GD[s], GGA[s], GGB[s], GJ[s])))
-            # sj: consumed this cell -> cleared; maybe re-set
-            sj_keep = ~valid
-            outSJ = (jnp.where(sj_keep, SJV[s],
-                               jnp.where(sj_on, nsjV, F32(NEVSEL))),
-                     jnp.where(sj_keep, SJD[s],
-                               jnp.where(sj_on, nsjD, I32(0))),
-                     jnp.where(sj_keep, SJGA[s], nsjGA),
-                     jnp.where(sj_keep, SJGB[s], nsjGB),
-                     jnp.where(sj_keep, SJJ[s],
-                               jnp.where(sj_on, nsjJ, I32(0))),
-                     jnp.where(sj_keep, SJK[s],
-                               jnp.where(sj_on, nsjK, I32(0))))
-            ic2 = (e1V, e1D, e1GA, e1GB, e1J, clV, clJ, clD, clCS,
-                   nxs, ncands)
-            return ic2, (outH, outG, outSJ, ev, jdon)
+        svec = jnp.where(valid, n - 3 * mvec - lw + 3, I32(W + 600))
+        bandV = bandV.at[svec].set(cVx, mode='drop')
+        bandD = bandD.at[svec].set(cDx, mode='drop')
 
-        ic0 = (e1V0, e1D0, e1GA0, e1GB0, e1J0,
-               jnp.full((3, NCAND_H + 1), NEVSEL, F32),
-               jnp.zeros((3, NCAND_H + 1), I32),
-               jnp.zeros((3, NCAND_H + 1), I32),
-               jnp.zeros((3, NCAND_H + 1), I32),
-               jnp.tile(jnp.arange(NCAND_H + 1, dtype=I32), (3, 1)),
-               jnp.zeros(3, I32))
-        _, (oh, og, osj, ev, jdon) = jax.lax.scan(cell, ic0, slots)
-        upd = lambda A, v: A.at[3:W + 3].set(v)
-        HV2, HD2, HGA2, HGB2, HJ2 = (upd(HV, oh[0]), upd(HD, oh[1]),
-                                     upd(HGA, oh[2]), upd(HGB, oh[3]),
-                                     upd(HJ, oh[4]))
-        GV2, GD2, GGA2, GGB2, GJ2 = (upd(GV, og[0]), upd(GD, og[1]),
-                                     upd(GGA, og[2]), upd(GGB, og[3]),
-                                     upd(GJ, og[4]))
-        SJ2 = tuple(upd(a, v) for a, v in
-                    zip((SJV, SJD, SJGA, SJGB, SJJ, SJK), osj))
-        return (HV2, HD2, HGA2, HGB2, HJ2, GV2, GD2, GGA2, GGB2, GJ2,
-                *SJ2), (ev, jdon)
+        carry2 = (Hh2, Neh2, Gh2, SJh2, clV, clJ, clD, clCS, nxs,
+                  ncands, bandV, bandD)
+        return carry2, (ev, jdon.T)
 
-    carry0 = (H0["V"], H0["D"], H0["GA"], H0["GB"], H0["J"],
-              G0["V"], G0["D"], G0["GA"], G0["GB"], G0["J"],
-              jnp.full(W + 6, NEVSEL, F32), jnp.zeros(W + 6, I32),
-              jnp.zeros(W + 6, I32), jnp.zeros(W + 6, I32),
-              jnp.zeros(W + 6, I32), jnp.zeros(W + 6, I32))
-    rows = jnp.arange(1, M + 1)
-    carry_f, (evs, jdons) = jax.lax.scan(row_step, carry0, rows)
-    return carry_f, evs, jdons
+    Hrec0 = (nevv, zi, zi, zi, zi)
+    SJrec0 = (nevv, zi, zi, zi, zi, zi)
+    carry0 = (tuple(Hrec0 for _ in range(6)),
+              tuple(Hrec0 for _ in range(3)),
+              tuple(Hrec0 for _ in range(3)),
+              tuple(SJrec0 for _ in range(6)),
+              jnp.full((MR, 3, NCAND_H + 1), NEVSEL, F32),
+              jnp.zeros((MR, 3, NCAND_H + 1), I32),
+              jnp.zeros((MR, 3, NCAND_H + 1), I32),
+              jnp.zeros((MR, 3, NCAND_H + 1), I32),
+              jnp.tile(jnp.arange(NCAND_H + 1, dtype=I32), (MR, 3, 1)),
+              jnp.zeros((MR, 3), I32),
+              H0["V"], H0["D"])
+    ts = jnp.arange(t_min, t_max + 1, dtype=I32)
+    carry_f, (evw, jdw) = jax.lax.scan(wave_step, carry0, ts)
+    return carry_f[-2], carry_f[-1], evw, jdw
 
 
 def forward_h_device(qprof, b, exin, ipen, prm, lw, up,
@@ -637,17 +898,28 @@ def forward_h_device(qprof, b, exin, ipen, prm, lw, up,
     pen_pack = _pen_arrays(ipen)
     H0 = dict(V=jnp.asarray(HV), D=jnp.asarray(HD), GA=jnp.asarray(HGA),
               GB=jnp.asarray(HGB), J=jnp.asarray(HJ))
-    G0 = dict(V=jnp.asarray(GV), D=jnp.asarray(GD), GA=jnp.asarray(GGA),
-              GB=jnp.asarray(GGB), J=jnp.asarray(GJ))
-    carry_f, evs, jdons = _sweep_h(M, N, lw, up,
-                                   (a_exgl, a_exgr), (b_exgl, b_exgr),
-                                   lcl, H0, G0,
-                                   jnp.asarray(qprof, jnp.float32),
-                                   pack, pen_pack)
-    fHV = np.asarray(carry_f[0]).astype(np.float64)
-    fHD = np.asarray(carry_f[1])
+    import os
+    import time as _time
+    _dbg = os.environ.get("PRRN_H_TIME")
+    _t0 = _time.time()
+    bandV, bandD, evs, jdons = _sweep_h(
+        M, N, lw, up, (a_exgl, a_exgr), (b_exgl, b_exgr),
+        lcl, H0, jnp.asarray(qprof, jnp.float32), pack, pen_pack)
+    t_min = 3 + max(3 + lw, 1)
+    if _dbg:
+        jax.block_until_ready(bandV)
+        print("  sweep dispatch+run: %.2fs" % (_time.time() - _t0),
+              flush=True)
+        _t0 = _time.time()
+    fHV = np.asarray(bandV).astype(np.float64)
+    fHD = np.asarray(bandD)
     evs = np.asarray(evs)
-    jdons = np.asarray(jdons)
+    # jdons stays on device; the walker touches it only at the few
+    # junction/sj events, fetching single rows lazily
+    if _dbg:
+        print("  fetch (%.1f MB): %.2fs"
+              % (evs.nbytes / 1e6, _time.time() - _t0), flush=True)
+        _t0 = _time.time()
 
     # ---------------- lastH on host (fwd2h.h:203-268) -------------------
     def sigT_at(nn):
@@ -731,26 +1003,26 @@ def forward_h_device(qprof, b, exin, ipen, prm, lw, up,
     if ex is not None:
         knots.append(ex)
     om, on = orig.get(best_r, (M, m3 + best_r))
-    back = _walk_h(evs, jdons, om, on, M, N, lw, up, init0_k, initc,
-                   a_exgl, b_exgl, idx)
+    back = _walk_h(evs, jdons, t_min, om, on, M, N, lw, up, init0_k,
+                   initc, a_exgl, b_exgl, idx)
     knots.extend(back)
     knots.reverse()
     return float(best_val), knots
 
 
-def _walk_h(evs, jdons, m0, n0, M, N, lw, up, init0_k, initc,
+def _walk_h(evs, jdons, t_min, m0, n0, M, N, lw, up, init0_k, initc,
             a_exgl, b_exgl, idx):
-    """Backward walk over event planes; knots in backward order."""
+    """Backward walk over wave-layout event planes (evs[t - t_min, m]);
+    knots in backward order."""
     knots = []
     m, n = m0, n0
     state = 0
 
     def ev_at(mm, nn):
-        s = nn - 3 * mm - lw
-        mi = mm - 1
-        if mi < 0 or s < 0 or s >= evs.shape[1] or mi >= evs.shape[0]:
+        ti = 3 * mm + nn - t_min
+        if mm < 1 or mm >= evs.shape[1] or ti < 0 or ti >= evs.shape[0]:
             return None
-        e = int(evs[mi, s])
+        e = int(evs[ti, mm])
         return None if e < 0 else e
 
     def cls_at(mm, nn):
@@ -775,27 +1047,34 @@ def _walk_h(evs, jdons, m0, n0, M, N, lw, up, init0_k, initc,
         e = ev_at(m, n)
         if e is None:
             break
-        s = n - 3 * m - lw
-        mi = m - 1
-        jd = jdons[mi, s]
+        _jd = None
+
+        def jd(i, _m=m, _n=n):
+            # lazy single-row fetch (jdons may live on device); only
+            # junction/sj cells ever need it
+            nonlocal _jd
+            if _jd is None:
+                _jd = np.asarray(jdons[3 * _m + _n - t_min, _m])
+            return int(_jd[i])
+
         if state == 0:
             w = e & EVH_WINNER
             if w == 0:
                 if e & EVH_JXH:
                     knots.append((m, n))
-                    knots.append((m, int(jd[0])))
+                    knots.append((m, jd(0)))
                     if e & EVH_CSH:
-                        n = int(jd[0]) - 3
+                        n = jd(0) - 3
                         m -= 1
                         if cls_at(m, n) != "diag":
                             knots.append((m, n))
                         continue
-                    n = int(jd[0])
+                    n = jd(0)
                     continue
                 if e & EVH_SJ:
-                    knots.append((m - 1, int(jd[3])))
+                    knots.append((m - 1, jd(3)))
                     m -= 1
-                    n = int(jd[3])
+                    n = jd(3)
                     continue
                 if cls_at(m - 1, n - 3) != "diag":
                     knots.append((m - 1, n - 3))
@@ -807,8 +1086,8 @@ def _walk_h(evs, jdons, m0, n0, M, N, lw, up, init0_k, initc,
         if state == 1:
             if e & EVH_JXF:
                 knots.append((m, n))
-                knots.append((m, int(jd[1])))
-                n = int(jd[1])
+                knots.append((m, jd(1)))
+                n = jd(1)
                 continue
             hk = (e & EVH_HK) >> 5
             if hk == 0:
@@ -820,8 +1099,8 @@ def _walk_h(evs, jdons, m0, n0, M, N, lw, up, init0_k, initc,
         # state 2: vertical
         if e & EVH_JXG:
             knots.append((m, n))
-            knots.append((m, int(jd[2])))
-            n = int(jd[2])
+            knots.append((m, jd(2)))
+            n = jd(2)
             continue
         vk = (e & EVH_VK) >> 3
         if vk == 0:
