@@ -151,44 +151,68 @@ def distance_matrix(seqs: list[np.ndarray], mtx: np.ndarray,
     return scores_to_dist(scores, self_scores, lens, pairs, u)
 
 
+def _pairdvn_block(rows_i: np.ndarray, row_j: np.ndarray,
+                   gap_code: int = 1) -> np.ndarray:
+    """Vectorized pairdvn of each row in ``rows_i`` (k, L) vs ``row_j``
+    (L,): matches/mismatches over non-gap columns plus the gap term
+    0.8*gap_events + 0.2*unpaired, where gap events are one-sided
+    gap-run starts in the both-gap-collapsed projection (the run-state
+    machine of divseq.cc:44-74 counts exactly those)."""
+    gi = rows_i <= gap_code                  # (k, L)
+    gj = row_j <= gap_code                   # (L,)
+    both = gi & gj
+    resres = ~gi & ~gj
+    mch = (resres & (rows_i == row_j)).sum(axis=1)
+    mmc = resres.sum(axis=1) - mch
+    unp = (gi ^ gj).sum(axis=1)
+    # gap events replicate the divseq run-state machine exactly:
+    # gsi = length of the raw row-i gap run entering c (both-gap
+    # columns count, any i-residue resets); gsj = length of the
+    # one-sided-j run entering c in the both-gap-collapsed projection
+    # (both-gap columns are transparent, any other column resets).
+    # An i-side event fires at one-sided-i columns iff gsi <= gsj,
+    # a j-side event at one-sided-j columns iff gsi >= gsj.
+    L = rows_i.shape[1]
+    idx = np.arange(L)
+    onesided_i = gi & ~gj
+    onesided_j = gj & ~gi
+    k = rows_i.shape[0]
+
+    last_res_i = np.zeros((k, L), np.int64)
+    last_res_i[:, 1:] = np.maximum.accumulate(
+        np.where(~gi, idx[None, :], -1), axis=1)[:, :-1]
+    last_res_i[:, 0] = -1
+    gsi = idx[None, :] - 1 - last_res_i          # entering c
+
+    resetj = ~both & ~onesided_j                 # valid non-j columns
+    last_rst = np.zeros((k, L), np.int64)
+    last_rst[:, 1:] = np.maximum.accumulate(
+        np.where(resetj, idx[None, :], -1), axis=1)[:, :-1]
+    last_rst[:, 0] = -1
+    S = np.zeros((k, L + 1), np.int64)
+    S[:, 1:] = np.cumsum(onesided_j, axis=1)
+    gsj = S[:, :-1] - np.take_along_axis(S, last_rst + 1, axis=1)
+
+    gap = ((onesided_i & (gsi <= gsj)).sum(axis=1)
+           + (onesided_j & (gsi >= gsj)).sum(axis=1))
+    gapunp = 0.8 * gap + 0.2 * unp
+    denom = gapunp + mch + mmc
+    return 1.0 - np.where(denom > 0, mch / np.maximum(denom, 1e-30),
+                          0.0)
+
+
 def pairdvn(msa: np.ndarray, i: int, j: int, gap_code: int = 1) -> float:
     """Percent-divergence between two rows of an MSA (divseq.cc:44-74
-    pairdvn): matches/mismatches over non-gap columns plus a gap term
-    0.8*gap_events + 0.2*unpaired columns."""
-    a = msa[i]
-    b = msa[j]
-    mch = mmc = unp = gap = 0
-    gsi = gsj = 0
-    for x, y in zip(a, b):
-        if x <= gap_code:
-            if y > gap_code:
-                unp += 1
-                if gsi <= gsj:
-                    gap += 1
-                gsj = 0
-            gsi += 1
-        else:
-            if y <= gap_code:
-                unp += 1
-                if gsi >= gsj:
-                    gap += 1
-                gsj += 1
-            else:
-                if x == y:
-                    mch += 1
-                else:
-                    mmc += 1
-                gsj = 0
-            gsi = 0
-    gapunp = 0.8 * gap + 0.2 * unp
-    return 1.0 - mch / (gapunp + mch + mmc)
+    pairdvn)."""
+    return float(_pairdvn_block(msa[i][None, :], msa[j], gap_code)[0])
 
 
 def msa_distance_matrix(msa: np.ndarray) -> np.ndarray:
-    """Condensed pairdvn distances between all rows of an MSA."""
+    """Condensed pairdvn distances between all rows of an MSA
+    (vectorized per anchor row)."""
     n = msa.shape[0]
     out = np.empty(n * (n - 1) // 2, np.float64)
     for j in range(1, n):
-        for i in range(j):
-            out[condensed_index(i, j)] = pairdvn(msa, i, j)
+        idx = [condensed_index(i, j) for i in range(j)]
+        out[idx] = _pairdvn_block(msa[:j], msa[j])
     return out

