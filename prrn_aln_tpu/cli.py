@@ -67,6 +67,41 @@ def _emit(msa, args):
                   f"{wspv:7.1f} {100.0 * wspv / npw / span:7.3f}")
 
 
+def _add_sshp_args(p) -> None:
+    """Protein structure-propensity score options (reference -ys/-yh/-yr,
+    simmtx.cc:639-657 readOption)."""
+    p.add_argument("-ys", type=float, default=None, metavar="F",
+                   help="secondary-structure propensity factor")
+    p.add_argument("-yh", default=None, metavar="F[,WING]",
+                   help="hydrophobicity factor (optional window wing)")
+    p.add_argument("-yr", default=None, metavar="F[,NANGLE]",
+                   help="hydrophobic-moment factor (NANGLE=1: 100deg, "
+                        "2: also 180deg)")
+
+
+def _apply_sshp(args) -> None:
+    """Configure the global ssp term from parsed flags (ssp.cc
+    initSsHpPrm; alprm3 defaults simmtx.cc:50)."""
+    from .msa import sshp
+    scnd = args.ys if args.ys is not None else 0.0
+    hydr = hpmt = 0.0
+    hpwing, no_angle = 3, 0
+    if args.yh:
+        head, _, tail = str(args.yh).partition(",")
+        if head:
+            hydr = float(head)
+        if tail:
+            hpwing = int(tail)
+    if args.yr:
+        head, _, tail = str(args.yr).partition(",")
+        if head:
+            hpmt = float(head)
+        if tail:
+            no_angle = int(tail)
+    sshp.activate(scnd=scnd, hydr=hydr, hpmt=hpmt, hpwing=hpwing,
+                  no_angle=no_angle)
+
+
 def prrn_main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="prrn",
@@ -95,6 +130,7 @@ def prrn_main(argv=None) -> int:
                    help="color intron positions (ANSI escapes)")
     p.add_argument("-yJ", type=float, default=None,
                    help="intron-position match bonus (default 20)")
+    _add_sshp_args(p)
     p.add_argument("-r", type=int, default=1, metavar="N",
                    help="best-of-N speculative refinement fan-out "
                         "(reference -r#, prrn5.cc:594-631; batched on "
@@ -119,6 +155,7 @@ def prrn_main(argv=None) -> int:
     p.add_argument("--resume", default=None, metavar="FILE",
                    help="resume from a checkpoint written by --ckpt")
     args = p.parse_args(argv)
+    _apply_sshp(args)
     from .utils.runstat import runstat, save_checkpoint, load_checkpoint
     runstat.setfmessg(args.E)
     runstat.stamp(0)
@@ -325,7 +362,9 @@ def aln_main(argv=None) -> int:
                    help="named amino-acid exchange matrix file "
                         "(e.g. vtml200, blosum62; searched in $ALN_TAB; "
                         "reference -mS)")
+    _add_sshp_args(p)
     args = p.parse_args(argv)
+    _apply_sshp(args)
 
     if args.b:
         # progressive MSA along a user tree (aln -b, no refinement)

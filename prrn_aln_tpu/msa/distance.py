@@ -83,8 +83,12 @@ def all_pairs_scores(seqs: list[np.ndarray], mtx: np.ndarray,
         backend = default_backend()
     kwargs = dict(nslot=nslot, nsteps=nsteps, dim=mtx.shape[0], local=False)
     if mesh is not None:
-        scores = _sharded_scores(mesh, a_batch, b_batch, la, lb, lw, up,
-                                 mtx, uv, vv, tg, exg, kwargs)
+        if backend == "pallas":
+            scores = _sharded_pallas_scores(mesh, a_batch, b_batch, la, lb,
+                                            lw, up, mtx, u, v)
+        else:
+            scores = _sharded_scores(mesh, a_batch, b_batch, la, lb, lw, up,
+                                     mtx, uv, vv, tg, exg, kwargs)
     elif backend == "pallas":
         from ..ops.pallas_pairwise import pallas_pairwise_scores
         outs = []
@@ -98,6 +102,31 @@ def all_pairs_scores(seqs: list[np.ndarray], mtx: np.ndarray,
         scores = wavefront_scores(a_batch, b_batch, la, lb, lw, up,
                                   mtx, uv, vv, tg, exg, **kwargs)
     return np.asarray(scores)
+
+
+def _sharded_pallas_scores(mesh, a_batch, b_batch, la, lb, lw, up,
+                           mtx, u, v):
+    """Run the Pallas banded kernel on every mesh device at once: the
+    pair batch is split into per-device chunks, each chunk's arrays are
+    committed to its device, and the (async) launches overlap.  Keeps
+    multi-chip on the fast engine instead of regressing to the lax.scan
+    path (SURVEY 5.8; round-2 weak #4)."""
+    from ..ops.pallas_pairwise import pallas_pairwise_scores
+
+    devs = list(mesh.devices.flat)
+    B = a_batch.shape[0]
+    nchunk = max(1, min(len(devs), B))
+    bounds = np.linspace(0, B, nchunk + 1).astype(int)
+    outs = []
+    for k in range(nchunk):
+        s, e = bounds[k], bounds[k + 1]
+        if s == e:
+            continue
+        with jax.default_device(devs[k]):
+            outs.append(pallas_pairwise_scores(
+                a_batch[s:e], b_batch[s:e], la[s:e], lb[s:e], mtx,
+                u, v, lw=lw[s:e], up=up[s:e]))
+    return np.concatenate([np.asarray(o) for o in outs])
 
 
 def _sharded_scores(mesh, a_batch, b_batch, la, lb, lw, up, mtx,

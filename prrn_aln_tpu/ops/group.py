@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..msa.msa import Msa
+from ..msa import sshp as _sshp
 from .window import Window, stripe
 from .group_np import _col_arrays, DIAG, VERT, HORI, VERT2, HORI2
 
@@ -401,6 +402,9 @@ def group_align(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
     BD, B0 = _bonus_images(A, B, la_max, lb_max, spb, scale)
     if BD is not None:
         S[:La, :Lb] += BD
+    SS = _sshp.pair_image(A, B)
+    if SS is not None:               # -ys/-yh/-yr propensity term
+        S[:La, :Lb] += SS
 
     na_a, gda, pga = _col_arrays(A)
     na_b, gdb, pgb = _col_arrays(B)
@@ -590,6 +594,9 @@ def _pack_inputs(A: Msa, B: Msa, mtx, u, v, wdw, an_pad, la_max, lb_max,
     BD, B0 = _bonus_images(A, B, la_max, lb_max, spb, scale)
     if BD is not None:
         S[:La, :Lb] += BD
+    SS = _sshp.pair_image(A, B)
+    if SS is not None:               # -ys/-yh/-yr propensity term
+        S[:La, :Lb] += SS
     na_a, gda, pga = _col_arrays(A)
     na_b, gdb, pgb = _col_arrays(B)
 

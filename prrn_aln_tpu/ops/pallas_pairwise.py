@@ -1,26 +1,37 @@
-"""Pallas TPU kernel: batched pairwise wavefront DP (score only).
+"""Pallas TPU kernel: batched banded pairwise DP (score only), row sweep.
 
-Gather-free layout:
+Row-layout formulation (round-3 redesign; the round-2 anti-diagonal
+wavefront kernel spent 30 of 43 ms/launch skewing the score image in
+XLA and idled half its lanes on the wavefront ramps):
 
-1. XLA builds the substitution image S[m, n] = mtx[a[m], b[n]] with a
-   one-hot einsum on the MXU, then "skews" it with a barrel rotator
-   (log2(rows) masked rolls): row c of the skewed block holds the
-   anti-diagonal m + n == c (mod rows).
-2. Pairs are packed 8 to a group along the sublane axis: the kernel's
-   state is (8, Lb) — one full f32 vreg row per op — and every step is
-   pure VPU work: lane shifts, maxima, adds.
-3. The wavefront step is a Pallas **grid dimension**: the per-step
-   diagonal row is a (1, 1, 8, Lb) block whose DMA Mosaic
-   double-buffers, and the DP state lives in VMEM scratch that persists
-   across grid steps (reference wavefront: src/fwd2d1.cc:136-189).
+1. The DP runs **row by row** (m = 0..la-1).  The within-row affine-gap
+   recurrence E(n) = max(E(n-1), H(n-1) - v) - u looks sequential, but
+   substituting H = max(X, E) (X = the E-free part) gives the
+   first-order max-plus recurrence
 
-Boundary conditions, banding (stripe of src/aln2.cc:156-174) and
-terminal-gap discounting reproduce the banded wavefront scorer exactly
-(ops/pairwise.py); validated against it in tests and in bench.py.
+       E(n) = max(E(n-1) - u, X(n-1) - v - u)
 
-Perf notes (v5e): see PERF.md — the f32 VPU roofline for this
-formulation is ~50-100 GCUPS/chip; roadmap items are banded tiling,
-rectangle packing, and int16 state.
+   whose solution is a running max:  E(n) = cummax_k(C(k) + k*u) - n*u,
+   C(k) = X(k-1) - v - u.  The cummax is a log2(W)-step shifted-max —
+   so a whole row resolves in O(log W) vector ops, no wavefront.
+2. The state is **band-packed**: lane j of row m holds column
+   n = m + lw + j, so the per-row work is proportional to the band
+   width (the stripe of src/aln2.cc:156-174), not the rectangle, and
+   every lane is a live cell.  Packing makes the diagonal predecessor
+   land on the *same* lane (no shift) and the vertical one on lane j+1
+   (one static shift).
+3. Eight pairs ride the sublane axis; each row update is a handful of
+   (8, W) VPU ops.  The packed substitution rows arrive via a Pallas
+   grid dimension so Mosaic double-buffers the DMA.
+
+Boundary conditions, banding, and terminal-gap discounting reproduce
+the banded wavefront scorer (ops/pairwise.py, reference
+src/fwd2d1.cc:66-189) to float reassociation accuracy: the log-depth
+E-scan evaluates C(k) + k*u - n*u where the sequential oracle applies
+(n-k) successive ``- u`` steps, so scores can differ by a few f32 ulps.
+
+Reference: src/fwd2d1.cc (wavefront scorer), src/aln2.cc:156-174
+(stripe), src/fwd2b1.cc (banded Gotoh).
 """
 
 from __future__ import annotations
@@ -34,36 +45,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEVSEL = -1.0e30
+NEG_SENT = -(2 ** 31 // 8) * 7.0    # reference NEG_INT sentinel
 GROUP = 8
 NPLANE = 16     # parameter planes (10 used; padded for tile alignment)
 
 
-def _pow2(x: int) -> int:
-    p = 8
-    while p < x:
-        p <<= 1
-    return p
+def _pad_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
-def _kernel(prm_ref, srot_ref, out_ref,
-            h2_ref, h1_ref, f1_ref, g1_ref, last_ref, bc_ref,
-            *, T, K, La_p, Lb_p):
-    """Grid step d of one 8-pair group: K unrolled wavefront sub-steps.
+def _shift_left1(x, fill, j_iota, Wp):
+    r = pltpu.roll(x, Wp - 1, axis=1)      # circular left-by-1
+    return jnp.where(j_iota == Wp - 1, fill, r)
 
-    srot_ref block: (1, K, 8, Lb_p) — the skewed score rows for
-    anti-diagonals d*K .. d*K+K-1 (rows mod La_p of the skewed image);
-    prm_ref block: (1, NPLANE, 8, 128) parameter planes [la, lb, u, v,
-    fa_l, fb_l, fa_r, fb_r, lw, up] broadcast over lanes; out_ref:
-    (1, 8, 128).  lw/up restrict cells to the diagonal band
-    lw <= n - m <= up (reference stripe, src/aln2.cc:156-174); a
-    full-rectangle run passes lw = -la, up = +lb.  Scratch refs
-    (8, Lb_p) hold the two trailing H diagonals, F/G lanes, the
-    captured last row, and the running last-column terminal
-    candidates; DP state stays in registers across the K sub-steps.
 
-    Sub-steps with d_abs >= T (block padding) write all-NEVSEL state but
-    cannot corrupt last_ref/bc_ref: their capture lanes fall outside
-    [0, lb) there.
+def _shift_right1(x, fill, j_iota):
+    r = pltpu.roll(x, 1, axis=1)
+    return jnp.where(j_iota == 0, fill, r)
+
+
+def _cummax(t, j_iota, Wp):
+    """Running max along lanes (log2(Wp) shifted maxima)."""
+    k = 1
+    while k < Wp:
+        r = pltpu.roll(t, k, axis=1)
+        t = jnp.maximum(t, jnp.where(j_iota < k, NEVSEL, r))
+        k <<= 1
+    return t
+
+
+def _kernel_rows(prm_ref, s_ref, out_ref,
+                 h_ref, g_ref, last_ref, bc_ref,
+                 *, K, La_p, Wp, nrb, lw0):
+    """Grid step (b, d): rows d*K .. d*K+K-1 of one 8-pair group.
+
+    s_ref block: (1, K, 8, Wp) band-packed substitution rows
+    (s[i, :, j] = score of cell (m, n=m+lw0+j), m = d*K+i, with lw0 the
+    batch-shared packing offset = min over pairs of the band low;
+    per-pair bands are lane intervals inside that); prm_ref:
+    (1, NPLANE, 8, 128) parameter planes [la, lb, u, v, fa_l, fb_l,
+    fa_r, fb_r, lw, up]; scratch refs (8, Wp) carry H/G of the last
+    processed row plus the captured last-row values and the running
+    right-column terminal candidates across grid steps.
     """
     d = pl.program_id(1)
     G = GROUP
@@ -82,165 +105,151 @@ def _kernel(prm_ref, srot_ref, out_ref,
     lw = plane(8)
     up = plane(9)
 
-    n_idx = jax.lax.broadcasted_iota(
-        jnp.int32, (G, Lb_p), 1).astype(jnp.float32)
-    neg = n_idx * 0.0 + NEVSEL             # concrete (8, Lb_p) layout
+    j_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (G, Wp), 1).astype(jnp.float32)
+    neg = j_iota * 0.0 + NEVSEL            # concrete (8, Wp) layout
+    ju = j_iota * u                        # j * u (for the E-scan)
+    # per-pair band as a lane interval inside the shared packing
+    jband = (lw0 + j_iota >= lw) & (lw0 + j_iota <= up)
 
     @pl.when(d == 0)
     def _init():
-        h2_ref[...] = neg
-        h1_ref[...] = neg
-        f1_ref[...] = neg
-        g1_ref[...] = neg
+        # virtual boundary row m = -1: lane j holds n = -1 + lw0 + j.
+        # Boundary values live on slot r = n+1 and are readable only for
+        # r inside the band (the oracle NEG-sentinels the edge slots).
+        nv = lw0 - 1.0 + j_iota
+        slot_ok = (nv + 1.0 >= lw) & (nv + 1.0 <= up)
+        hinit = jnp.where(nv == -1.0, 0.0,
+                          jnp.where((nv >= 0.0) & slot_ok,
+                                    -(v + (nv + 1.0) * u) * fa_l,
+                                    NEG_SENT))
+        h_ref[...] = hinit
+        g_ref[...] = neg
         last_ref[...] = neg
         bc_ref[...] = neg
 
-    lane0 = n_idx == 0
-    # boundary top-row values Ta(n) (0 at n==0) and Ta(n+1)
-    Ta = jnp.where(lane0, 0.0, -(v + n_idx * u) * fa_l)
-    Tav = -(v + (n_idx + 1.0) * u) * fa_l
-    half = jnp.float32(0.5)
+    def row(i, carry):
+        H, Gv, LR, BC = carry
+        mf = (d * K + i).astype(jnp.float32)
+        s_row = s_ref[0, i]
+        n_vec = mf + lw0 + j_iota
+        colb = -(v + (mf + 1.0) * u) * fb_l    # H(m, -1) (8, 1)
+        # the left-column boundary lives on slot -(m+1): readable only
+        # when that slot is inside the band (m < -lw)
+        colb_ok = mf < -lw                     # (8, 1)
 
-    H2 = h2_ref[...]
-    H1 = h1_ref[...]
-    F1 = f1_ref[...]
-    G1 = g1_ref[...]
-    lastrow = last_ref[...]
-    best_col = bc_ref[...]
+        Hs = _shift_left1(H, NEG_SENT, j_iota, Wp)
+        Gs = _shift_left1(Gv, NEVSEL, j_iota, Wp)
+        G0 = jnp.maximum(Hs - v, Gs) - u
+        D0 = H + s_row
+        X = jnp.maximum(D0, G0)
+        valid = (n_vec >= 0.0) & (n_vec < lb) & jband
+        virt = (n_vec == -1.0) & colb_ok
+        X = jnp.where(valid, X, jnp.where(virt, colb + 0.0 * j_iota,
+                                          NEG_SENT))
 
-    d0f = (d * K).astype(jnp.float32)
-    for j in range(K):
-        df = d0f + j
-        s_row = srot_ref[0, j]
-        m_vec = df - n_idx
-        # valid lanes form the interval lo <= n <= hi:
-        #   m in [0, la) ∩ n in [0, lb) ∩ lw <= n - m <= up
-        lo = jnp.maximum(jnp.ceil((df + lw) * half), df - la + 1.0)
-        hi = jnp.minimum(jnp.floor((df + up) * half),
-                         jnp.minimum(df, lb - 1.0))
-        valid = (n_idx >= lo) & (n_idx <= hi)
+        C = (_shift_right1(X, NEG_SENT, j_iota) - v) - u
+        C = jnp.where((j_iota == 0) & (n_vec == 0.0) & colb_ok,
+                      (colb - v) - u, C)
+        M = _cummax(C + ju, j_iota, Wp)
+        E = M - ju
+        H0 = jnp.maximum(X, E)
+        H0 = jnp.where(valid, H0, jnp.where(virt, colb + 0.0 * j_iota,
+                                            NEG_SENT))
 
-        # lane-0 fills: H1s/F1s feed F0, whose lane 0 must not read the
-        # wrapped tail; H2s lane 0 is never read (diag_pred selects the
-        # left-column boundary there), so its roll needs no fill
-        H1s = jnp.where(lane0, NEVSEL, pltpu.roll(H1, 1, axis=1))
-        F1s = jnp.where(lane0, NEVSEL, pltpu.roll(F1, 1, axis=1))
-        H2s = pltpu.roll(H2, 1, axis=1)
+        LR = jnp.where(mf == la - 1.0, H0, LR)
+        kb = la - 1.0 - mf
+        cand = jnp.where((n_vec == lb - 1.0) & (kb > 0.0),
+                         H0 - (v + kb * u) * fb_r, neg)
+        BC = jnp.maximum(BC, cand)
+        return H0, G0, LR, BC
 
-        top = m_vec == 0
-        tb_d = -(v + df * u) * fb_l        # left-column boundary, d > 0
-        diag_pred = jnp.where(top, Ta,
-                              jnp.where(lane0,
-                                        jnp.where(df == 0.0, 0.0, tb_d),
-                                        H2s))
+    H, Gv, LR, BC = jax.lax.fori_loop(
+        0, K, row, (h_ref[...], g_ref[...], last_ref[...], bc_ref[...]))
+    h_ref[...] = H
+    g_ref[...] = Gv
+    last_ref[...] = LR
+    bc_ref[...] = BC
 
-        F0 = jnp.maximum(H1s - v, F1s) - u
-
-        vpH = jnp.where(top, Tav, H1)
-        vpG = jnp.where(top, NEVSEL, G1)
-        G0 = jnp.maximum(vpH - v, vpG) - u
-
-        H0 = jnp.maximum(jnp.maximum(diag_pred + s_row, F0), G0)
-        H0 = jnp.where(valid, H0, neg)
-
-        # last row H(la-1, n) lands at lane n when m == la-1
-        lastrow = jnp.where(m_vec == la - 1.0, H0, lastrow)
-        # last-column terminal candidates (trailing gap in b):
-        #   H(m, lb-1) - (v + (la-1-m) u) * fb_r
-        kf = la - 1.0 - m_vec
-        cand = jnp.where((n_idx == lb - 1.0) & (kf > 0),
-                         H0 - (v + kf * u) * fb_r, neg)
-        best_col = jnp.maximum(best_col, cand)
-
-        H2, H1, F1, G1 = H1, H0, F0, G0
-
-    h2_ref[...] = H2
-    h1_ref[...] = H1
-    f1_ref[...] = F1
-    g1_ref[...] = G1
-    last_ref[...] = lastrow
-    bc_ref[...] = best_col
-
-    nblocks = (T + K - 1) // K
-    @pl.when(d == nblocks - 1)
+    @pl.when(d == nrb - 1)
     def _finish():
-        best_colr = jnp.max(best_col, axis=1, keepdims=True)
-        corner = jnp.max(jnp.where(n_idx == lb - 1.0, lastrow, NEVSEL),
+        n_last = (la - 1.0) + lw0 + j_iota
+        corner = jnp.max(jnp.where(n_last == lb - 1.0, LR, NEVSEL),
                          axis=1, keepdims=True)
-        kfb = lb - 1.0 - n_idx
-        cand_row = jnp.where(kfb > 0, lastrow - (v + kfb * u) * fa_r,
-                             NEVSEL)
+        kfb = lb - 1.0 - n_last
+        cand_row = jnp.where((kfb > 0.0) & (n_last >= 0.0),
+                             LR - (v + kfb * u) * fa_r, NEVSEL)
         best_row = jnp.max(cand_row, axis=1, keepdims=True)
+        best_col = jnp.max(BC, axis=1, keepdims=True)
         score = corner
         score = jnp.where(fa_r < 1.0, jnp.maximum(score, best_row), score)
-        score = jnp.where(fb_r < 1.0, jnp.maximum(score, best_colr), score)
+        score = jnp.where(fb_r < 1.0, jnp.maximum(score, best_col), score)
         out_ref[0, :, :] = jnp.broadcast_to(score, (G, 128))
 
 
-@functools.partial(jax.jit, static_argnames=("la_pad", "lb_pad", "dim"))
-def _prepare_and_launch(a_batch, b_batch, prm, mtx, *, la_pad, lb_pad, dim):
-    """Fused S-image build + skew + kernel launch (single XLA program)."""
+@functools.partial(jax.jit,
+                   static_argnames=("La_p", "Wp", "dim", "lw0", "interpret"))
+def _prepare_and_launch(a_batch, b_batch, prm, mtx, *, La_p, Wp, dim, lw0,
+                        interpret=False):
+    """Packed-S build (XLA) + row-kernel launch (single XLA program).
+
+    a_batch (Bp, Ma) / b_batch (Bp, Mb) int32 codes; prm
+    (BG, NPLANE, 8, 128) parameter planes; lw0 the shared packing
+    offset (min band low over the batch — static so the column index
+    array is batch-shared, which XLA lowers as a fast vectorized take
+    instead of a per-pair gather).
+    """
     Bp, Ma = a_batch.shape
     Mb = b_batch.shape[1]
     hi = jax.lax.Precision.HIGHEST
     onehot_a = jax.nn.one_hot(a_batch, dim, dtype=jnp.float32)
-    onehot_b = jax.nn.one_hot(b_batch, dim, dtype=jnp.float32)
     P = jnp.einsum("bmc,cd->bmd", onehot_a, mtx.astype(jnp.float32),
-                   precision=hi)
-    S = jnp.einsum("bmd,bnd->bmn", P, onehot_b, precision=hi)
-    S = jnp.pad(S, ((0, 0), (0, la_pad - Ma), (0, lb_pad - Mb)))
-    S = _skew(S, la_pad=la_pad)
-    S = S.reshape(Bp // GROUP, GROUP, la_pad, lb_pad).transpose(0, 2, 1, 3)
-    return _launch(S, prm, la_pad=la_pad, lb_pad=lb_pad)
+                   precision=hi)                      # (Bp, Ma, dim)
+    P = jnp.pad(P, ((0, 0), (0, La_p - Ma), (0, 0)))
+    m_idx = jnp.arange(La_p, dtype=jnp.int32)[:, None]
+    j_idx = jnp.arange(Wp, dtype=jnp.int32)[None, :]
+    colc = jnp.clip(m_idx + lw0 + j_idx, 0, Mb - 1)   # shared (La_p, Wp)
+    bc = b_batch[:, colc]                             # (Bp, La_p, Wp)
+    OH = jax.nn.one_hot(bc, dim, dtype=jnp.float32)
+    S = jnp.einsum("bmd,bmjd->bmj", P, OH, precision=hi)
+    S = S.reshape(Bp // GROUP, GROUP, La_p, Wp).transpose(0, 2, 1, 3)
+    return _launch(S, prm, La_p=La_p, Wp=Wp, lw0=lw0, interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("la_pad", "lb_pad"))
-def _launch(S, prm, *, la_pad, lb_pad):
-    """S: (BG, la_pad, 8, lb_pad) pre-skewed; prm: (BG, NPLANE, 8, 128)."""
+@functools.partial(jax.jit,
+                   static_argnames=("La_p", "Wp", "lw0", "interpret"))
+def _launch(S, prm, *, La_p, Wp, lw0, interpret=False):
+    """S: (BG, La_p, 8, Wp) band-packed rows; prm: (BG, NPLANE, 8, 128)."""
     BG = S.shape[0]
-    T = la_pad + lb_pad - 1
-    K = min(8, la_pad)                     # unrolled sub-steps per grid step
-    nblocks = (T + K - 1) // K
-    row_blocks = la_pad // K               # skewed image wraps mod la_pad
-    kern = functools.partial(_kernel, T=T, K=K, La_p=la_pad, Lb_p=lb_pad)
+    K = min(128, La_p)
+    nrb = La_p // K
+    kern = functools.partial(_kernel_rows, K=K, La_p=La_p, Wp=Wp, nrb=nrb,
+                             lw0=lw0)
 
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((BG, GROUP, 128), jnp.float32),
-        grid=(BG, nblocks),
+        grid=(BG, nrb),
         in_specs=[
             pl.BlockSpec((1, NPLANE, 8, 128), lambda b, d: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, GROUP, lb_pad),
-                         lambda b, d: (b, d % row_blocks, 0, 0),
+            pl.BlockSpec((1, K, GROUP, Wp), lambda b, d: (b, d, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, GROUP, 128), lambda b, d: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((GROUP, lb_pad), jnp.float32)
-                        for _ in range(6)],
+        scratch_shapes=[pltpu.VMEM((GROUP, Wp), jnp.float32)
+                        for _ in range(4)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(prm, S)
-
-
-@functools.partial(jax.jit, static_argnames=("la_pad",))
-def _skew(S, *, la_pad):
-    """Roll column n of each (la_pad, lb_pad) image down by n (mod)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, S.shape, 2)
-    out = S
-    k = 1
-    while k < la_pad:
-        rolled = jnp.roll(out, k, axis=1)
-        out = jnp.where((lane & k) != 0, rolled, out)
-        k <<= 1
-    return out
 
 
 def pallas_pairwise_scores(a_batch, b_batch, la, lb, mtx,
                            u: float, v: float, tgapf: float = 1.0,
                            exg=None, lw=None, up=None):
-    """Batched (optionally banded) wavefront scores via the Pallas kernel.
+    """Batched (optionally banded) affine-gap scores via the row kernel.
 
     a_batch (B, Ma) / b_batch (B, Mb) int32 codes (0-padded), la/lb (B,)
     actual lengths; lw/up (B,) band diagonals (default: full rectangle).
@@ -248,13 +257,15 @@ def pallas_pairwise_scores(a_batch, b_batch, la, lb, mtx,
     """
     B, Ma = a_batch.shape
     Mb = b_batch.shape[1]
-    la_pad = _pow2(Ma)
-    lb_pad = max(128, _pow2(Mb))
     dim = mtx.shape[0]
     la = np.asarray(la)
     lb = np.asarray(lb)
     lw = -la if lw is None else np.asarray(lw)
     up = lb if up is None else np.asarray(up)
+    La_p = _pad_to(max(Ma, 8), min(128, 1 << int(max(Ma, 8) - 1).bit_length()))
+    La_p = max(8, La_p)
+    lw0 = int(lw.min())
+    Wp = _pad_to(int(up.max()) - lw0 + 1, 128)
     pad_b = (-B) % GROUP
     if pad_b:
         a_batch = np.pad(a_batch, ((0, pad_b), (0, 0)))
@@ -286,5 +297,6 @@ def pallas_pairwise_scores(a_batch, b_batch, la, lb, mtx,
         (Bp // GROUP, NPLANE, GROUP, 128)).copy()
 
     out = _prepare_and_launch(a_batch, b_batch, prm, mtx,
-                              la_pad=la_pad, lb_pad=lb_pad, dim=dim)
+                              La_p=La_p, Wp=Wp, dim=dim, lw0=lw0,
+                              interpret=jax.default_backend() != "tpu")
     return out.reshape(Bp, 128)[:B, 0]

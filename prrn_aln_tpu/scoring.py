@@ -111,6 +111,41 @@ def build_matrix(molc: int, params: AlnParams) -> tuple[np.ndarray, dict]:
     return dna_matrix(params)
 
 
+# Concurrent matrix slots (reference simmtx.h:31,65-81 Simmtxes /
+# defPprm, simmtx.cc:58-59): slot 0 is the display/distance default,
+# slot 1 the alignment matrix, slot 2 (WlnPamNo) the reduced-score
+# matrix for Wilbur-Lipman HSP seeding (aln.cc:35,581 WlpPam=50).
+# Note (DEVIATIONS.md #8): in the shipped prrn5 the slot bookkeeping
+# collapses so the one PwdM is built from an effective pam150/u2/v9
+# matrix -- which is exactly PRRN_DEFAULTS; the slots only diverge for
+# aln's HSP tier and explicit -yp/-yq overrides.
+DEF_PPRM = {0: dict(pam=100, u=4.0, v=10.0),
+            1: dict(pam=150, u=2.0, v=9.0),
+            2: dict(pam=250, u=2.0, v=9.0)}
+WLN_PAM_NO = 2
+WLP_PAM = 50
+
+
+def slot_params(slot: int, base: AlnParams | None = None,
+                pam: int | None = None) -> AlnParams:
+    """AlnParams for matrix slot ``slot`` (reference defPprm defaults),
+    optionally overriding the PAM level (setpam, simmtx.cc:551-553)."""
+    import dataclasses
+    d = dict(DEF_PPRM.get(slot, DEF_PPRM[0]))
+    if pam is not None:
+        d["pam"] = pam
+    if base is None:
+        base = AlnParams()
+    return dataclasses.replace(base, pam=d["pam"], u=d["u"], v=d["v"],
+                               mtx_no=slot)
+
+
+def slot_matrix(molc: int, slot: int, base: AlnParams | None = None,
+                pam: int | None = None) -> tuple[np.ndarray, dict]:
+    """Build the substitution matrix for a slot (getSimmtx equivalent)."""
+    return build_matrix(molc, slot_params(slot, base, pam))
+
+
 def self_score(codes: np.ndarray, mtx: np.ndarray) -> float:
     """Sum of diagonal matrix entries over residues (aln2.cc:50-63
     selfAlnScr with many=1)."""

@@ -84,3 +84,16 @@ def test_group_batch_scale_matches_single():
                                        sh=-60, pads=(4, 32), scale=2.5)
     assert s2 == pytest.approx(s1, rel=1e-6)
     assert k2 == k1
+
+
+def test_all_pairs_scores_mesh_pallas_matches_serial(mesh, pmtx):
+    """Multi-chip must stay on the Pallas engine (round-2 weak #4): the
+    per-device chunked pallas path equals the serial scan scorer."""
+    rng = np.random.default_rng(23)
+    seqs = [rng.integers(3, 23, size=rng.integers(30, 70)).astype(np.int32)
+            for _ in range(9)]
+    want = distance.all_pairs_scores(seqs, pmtx, 2.0, 9.0, -60,
+                                     backend="scan")
+    got = distance.all_pairs_scores(seqs, pmtx, 2.0, 9.0, -60,
+                                    mesh=mesh, backend="pallas")
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-3)
