@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEVSEL = -1.0e30
 NEG_SENT = -(2 ** 31 // 8) * 7.0    # reference NEG_INT sentinel
-GROUP = 8
+GROUP = 32
 NPLANE = 16     # parameter planes (10 used; padded for tile alignment)
 
 
@@ -76,17 +76,19 @@ def _cummax(t, j_iota, Wp):
 
 def _kernel_rows(prm_ref, s_ref, out_ref,
                  h_ref, g_ref, last_ref, bc_ref,
-                 *, K, La_p, Wp, nrb, lw0):
-    """Grid step (b, d): rows d*K .. d*K+K-1 of one 8-pair group.
+                 *, K, La_p, Wp, Np, nrb, lw0):
+    """Grid step (b, d): rows d*K .. d*K+K-1 of one GROUP-pair group.
 
-    s_ref block: (1, K, 8, Wp) band-packed substitution rows
-    (s[i, :, j] = score of cell (m, n=m+lw0+j), m = d*K+i, with lw0 the
-    batch-shared packing offset = min over pairs of the band low;
-    per-pair bands are lane intervals inside that); prm_ref:
-    (1, NPLANE, 8, 128) parameter planes [la, lb, u, v, fa_l, fb_l,
-    fa_r, fb_r, lw, up]; scratch refs (8, Wp) carry H/G of the last
-    processed row plus the captured last-row values and the running
-    right-column terminal candidates across grid steps.
+    s_ref block: (1, K, GROUP, Np) UNPACKED substitution rows straight
+    from the MXU GEMM; the band packing (lane j of DP row m holds
+    column n = m + lw0 + j) is applied here with ONE strided
+    `pltpu.roll` over the whole block -- a vectorized in-VMEM skew,
+    instead of the round-2 XLA barrel-rotate over 512 MB of HBM.
+    prm_ref: (1, NPLANE, GROUP, 128) parameter planes [la, lb, u, v,
+    fa_l, fb_l, fa_r, fb_r, lw, up]; scratch refs (GROUP, Wp) carry
+    H/G of the last processed row plus the captured last-row values
+    and the running right-column terminal candidates across grid
+    steps.
     """
     d = pl.program_id(1)
     G = GROUP
@@ -128,10 +130,15 @@ def _kernel_rows(prm_ref, s_ref, out_ref,
         last_ref[...] = neg
         bc_ref[...] = neg
 
+    # band packing: lane j of DP row m reads column (m+lw0+j) % Np --
+    # one dynamic in-VMEM roll per row (wrapped lanes land outside
+    # [0, lb) of n_vec and are masked below)
     def row(i, carry):
         H, Gv, LR, BC = carry
         mf = (d * K + i).astype(jnp.float32)
-        s_row = s_ref[0, i]
+        s_row = pltpu.roll(s_ref[0, i],
+                           jnp.mod(-(d * K + i + lw0), Np),
+                           axis=1)[:, :Wp]
         n_vec = mf + lw0 + j_iota
         colb = -(v + (mf + 1.0) * u) * fb_l    # H(m, -1) (8, 1)
         # the left-column boundary lives on slot -(m+1): readable only
@@ -194,46 +201,50 @@ def _prepare_and_launch(a_batch, b_batch, prm, mtx, *, La_p, Wp, dim, lw0,
     """Packed-S build (XLA) + row-kernel launch (single XLA program).
 
     a_batch (Bp, Ma) / b_batch (Bp, Mb) int32 codes; prm
-    (BG, NPLANE, 8, 128) parameter planes; lw0 the shared packing
-    offset (min band low over the batch — static so the column index
-    array is batch-shared, which XLA lowers as a fast vectorized take
-    instead of a per-pair gather).
+    (BG, NPLANE, GROUP, 128) parameter planes; lw0 the shared packing
+    offset (min band low over the batch).
+
+    The substitution image is built UNPACKED as one batched MXU GEMM
+    (one-hot selections are exact: each output cell sums exactly one
+    matrix entry, so MXU precision does not matter) and the band
+    packing happens inside the kernel with a single strided
+    `pltpu.roll` per grid block — no XLA-side gather/skew pass over
+    HBM (that pass cost 30 of 43 ms/launch in the round-2 kernel).
     """
     Bp, Ma = a_batch.shape
     Mb = b_batch.shape[1]
+    Np = _pad_to(max(Mb, Wp), 128)
     hi = jax.lax.Precision.HIGHEST
     onehot_a = jax.nn.one_hot(a_batch, dim, dtype=jnp.float32)
+    onehot_b = jax.nn.one_hot(b_batch, dim, dtype=jnp.float32)
     P = jnp.einsum("bmc,cd->bmd", onehot_a, mtx.astype(jnp.float32),
-                   precision=hi)                      # (Bp, Ma, dim)
-    P = jnp.pad(P, ((0, 0), (0, La_p - Ma), (0, 0)))
-    m_idx = jnp.arange(La_p, dtype=jnp.int32)[:, None]
-    j_idx = jnp.arange(Wp, dtype=jnp.int32)[None, :]
-    colc = jnp.clip(m_idx + lw0 + j_idx, 0, Mb - 1)   # shared (La_p, Wp)
-    bc = b_batch[:, colc]                             # (Bp, La_p, Wp)
-    OH = jax.nn.one_hot(bc, dim, dtype=jnp.float32)
-    S = jnp.einsum("bmd,bmjd->bmj", P, OH, precision=hi)
-    S = S.reshape(Bp // GROUP, GROUP, La_p, Wp).transpose(0, 2, 1, 3)
-    return _launch(S, prm, La_p=La_p, Wp=Wp, lw0=lw0, interpret=interpret)
+                   precision=hi)                      # exact row select
+    S = jnp.einsum("bmd,bnd->bmn", P, onehot_b, precision=hi)
+    S = jnp.pad(S, ((0, 0), (0, La_p - Ma), (0, Np - Mb)))
+    S = S.reshape(Bp // GROUP, GROUP, La_p, Np).transpose(0, 2, 1, 3)
+    return _launch(S, prm, La_p=La_p, Wp=Wp, Np=Np, lw0=lw0,
+                   interpret=interpret)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("La_p", "Wp", "lw0", "interpret"))
-def _launch(S, prm, *, La_p, Wp, lw0, interpret=False):
-    """S: (BG, La_p, 8, Wp) band-packed rows; prm: (BG, NPLANE, 8, 128)."""
+                   static_argnames=("La_p", "Wp", "Np", "lw0", "interpret"))
+def _launch(S, prm, *, La_p, Wp, Np, lw0, interpret=False):
+    """S: (BG, La_p, GROUP, Np) unpacked rows; prm: (BG, NPLANE,
+    GROUP, 128)."""
     BG = S.shape[0]
-    K = min(128, La_p)
+    K = min(64, La_p)
     nrb = La_p // K
-    kern = functools.partial(_kernel_rows, K=K, La_p=La_p, Wp=Wp, nrb=nrb,
-                             lw0=lw0)
+    kern = functools.partial(_kernel_rows, K=K, La_p=La_p, Wp=Wp, Np=Np,
+                             nrb=nrb, lw0=lw0)
 
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((BG, GROUP, 128), jnp.float32),
         grid=(BG, nrb),
         in_specs=[
-            pl.BlockSpec((1, NPLANE, 8, 128), lambda b, d: (b, 0, 0, 0),
+            pl.BlockSpec((1, NPLANE, GROUP, 128), lambda b, d: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, GROUP, Wp), lambda b, d: (b, d, 0, 0),
+            pl.BlockSpec((1, K, GROUP, Np), lambda b, d: (b, d, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, GROUP, 128), lambda b, d: (b, 0, 0),
