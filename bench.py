@@ -20,6 +20,7 @@ vs_baseline is the fraction of the 1 TCUPS/chip target (BASELINE.md).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -34,6 +35,24 @@ def band_cells(la: int, lb: int, lw: int, up: int) -> int:
 
 
 def main():
+    if "--group" in sys.argv or "--spliced" in sys.argv:
+        # secondary engine metrics (kept off the default driver run to
+        # hold its runtime; see PERF.md "Current state" for recorded
+        # numbers and _profgroup.py for the harness)
+        import _profgroup
+        if "--group" in sys.argv:
+            g, t = _profgroup.group_dp_gcups()
+            print(json.dumps({"metric": "group_dp_batch_throughput",
+                              "value": round(g, 4), "unit": "GCUPS",
+                              "vs_baseline": round(g / 1000.0, 7)}))
+        if "--spliced" in sys.argv:
+            g, t = _profgroup.spliced_gcups()
+            if g is not None:
+                print(json.dumps({"metric": "spliced_h_throughput",
+                                  "value": round(g, 4), "unit": "GCUPS",
+                                  "vs_baseline": round(g / 1000.0, 7)}))
+        return
+
     import jax
     from prrn_aln_tpu import scoring
     from prrn_aln_tpu.config import AlnParams

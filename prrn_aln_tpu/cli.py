@@ -808,12 +808,48 @@ def utn_main(argv=None) -> int:
                    help="translate in frame 0/1/2")
     p.add_argument("-O", action="store_true", help="find ORFs")
     p.add_argument("-r", action="store_true", help="reverse complement")
+    p.add_argument("-z", default=None, metavar="ENZ|all[,max[,min]]",
+                   help="restriction sites (reference utn resezm/allezm; "
+                        "table: renzyme)")
+    p.add_argument("-fp", default=None, metavar="PATTERN",
+                   help="find IUPAC pattern positions (reference -f)")
     args = p.parse_args(argv)
 
     from . import alphabet as abm
     from .utils import seqtools as st
     for rec in io.sniff_and_read(args.input):
         codes = abm.encode(rec.seq.replace("-", ""), abm.DNA)
+        if args.z or args.fp:
+            from .utils import resite as rz
+            seq = rec.seq.replace("-", "").upper()
+            if args.fp:
+                locs = rz.pattern_positions(seq, args.fp)
+                print(f"{rec.name}  ({args.fp})  {len(locs)}")
+                if locs:
+                    print(rz.format_loc(locs))
+            if args.z and args.z.startswith("all"):
+                parts = args.z.split(",")
+                mx = int(parts[1]) if len(parts) > 1 else 2 ** 31 - 1
+                mn = int(parts[2]) if len(parts) > 2 else (0 if mx == 0
+                                                           else 1)
+                for e, locs in rz.all_sites(seq, mn, mx):
+                    print(f"{e.name:<10} {e.pattern:<10} {e.cut:2d}   "
+                          f"{len(locs)}")
+                    if locs:
+                        print(rz.format_loc(locs))
+            elif args.z:
+                total = []
+                for nm in args.z.split(","):
+                    e = rz.find_enzyme(nm)
+                    if e is None:
+                        print(f"{nm} not found", file=sys.stderr)
+                        continue
+                    locs = rz.respos(seq, e)
+                    print(f"{rec.name}  ({e.name:<10} {e.pattern:<10} "
+                          f"{e.cut:2d} )  {len(locs)}")
+                    total.extend(locs)
+                if total:
+                    print(rz.format_loc(sorted(total)))
         if args.c:
             comp = st.composition(codes, abm.DNA)
             total = sum(comp.values())
@@ -832,20 +868,41 @@ def utn_main(argv=None) -> int:
 
 
 def utp_main(argv=None) -> int:
-    """Protein utility (reference utp): composition."""
+    """Protein utility (reference utp): composition, PROSITE motifs."""
     p = argparse.ArgumentParser(prog="utp")
     p.add_argument("input")
     p.add_argument("-c", action="store_true", help="composition")
+    p.add_argument("-m", default=None, metavar="PATTERN",
+                   help="scan a PROSITE-syntax motif (reference prs.cc)")
+    p.add_argument("-P", default=None, metavar="DAT",
+                   help="scan every pattern of a prosite.dat file")
     args = p.parse_args(argv)
 
     from . import alphabet as abm
     from .utils import seqtools as st
+    pats = None
+    if args.P:
+        from .utils import prosite as psm
+        pats = [(pid, acc, psm.compile_pattern(pat))
+                for pid, acc, pat in psm.parse_dat(args.P)]
     for rec in io.sniff_and_read(args.input):
-        codes = abm.encode(rec.seq.replace("-", ""), abm.PROTEIN)
-        comp = st.composition(codes, abm.PROTEIN)
-        total = sum(comp.values())
-        print(rec.name, total,
-              " ".join(f"{k}:{v}" for k, v in sorted(comp.items())))
+        seq = rec.seq.replace("-", "")
+        if args.m:
+            from .utils import prosite as psm
+            for s, e in psm.scan(seq, args.m):
+                print(f"{rec.name}\t{s + 1}\t{e}\t{seq[s:e]}")
+        if pats is not None:
+            for pid, acc, rx in pats:
+                from .utils import prosite as psm
+                for s, e in psm.scan(seq, rx):
+                    print(f"{rec.name}\t{pid}\t{acc}\t{s + 1}\t{e}\t"
+                          f"{seq[s:e]}")
+        if args.c or not (args.m or pats is not None):
+            codes = abm.encode(seq, abm.PROTEIN)
+            comp = st.composition(codes, abm.PROTEIN)
+            total = sum(comp.values())
+            print(rec.name, total,
+                  " ".join(f"{k}:{v}" for k, v in sorted(comp.items())))
     return 0
 
 

@@ -566,9 +566,12 @@ def group_align_batch(pairs, mtx, u: float, v: float, sh: int,
     score, dirs, opens = vm(*batched)
     global LAST_BATCH_SHARDING
     LAST_BATCH_SHARDING = getattr(dirs, "sharding", None)
+    # one bulk device->host fetch for the whole batch (per-pair fetches
+    # cost a round-trip each, which dominates on a tunneled device)
+    dirs_np, opens_np = np.asarray(dirs), np.asarray(opens)
     out = []
     for k, ((A, B), w) in enumerate(zip(pairs, wdws)):
-        skl = _traceback_wave(np.asarray(dirs[k]), np.asarray(opens[k]),
+        skl = _traceback_wave(dirs_np[k], opens_np[k],
                               A.length, B.length, w.lw)
         if (float(score[k]) <= NEVSEL / 2
                 or not skl_in_band(skl, w.lw, w.up)):
