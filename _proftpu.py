@@ -42,8 +42,9 @@ lw = np.full(B, w.lw, np.int32); up = np.full(B, w.up, np.int32)
 planes = np.zeros((B, pp.NPLANE), np.float32)
 planes[:, 0] = L; planes[:, 1] = L; planes[:, 2] = 2.0; planes[:, 3] = 9.0
 planes[:, 4:8] = 1.0; planes[:, 8] = w.lw; planes[:, 9] = w.up
-prm = np.broadcast_to(planes.reshape(B//8, 8, pp.NPLANE, 1).transpose(0,2,1,3),
-                      (B//8, pp.NPLANE, 8, 128)).copy()
+prm = np.broadcast_to(
+    planes.reshape(B//pp.GROUP, pp.GROUP, pp.NPLANE, 1).transpose(0,2,1,3),
+    (B//pp.GROUP, pp.NPLANE, pp.GROUP, 128)).copy()
 prmd = jax.device_put(prm); mtxd = jax.device_put(mtx)
 A = rng.integers(3, 23, size=(N, B, L)).astype(np.int32)
 Bb = rng.integers(3, 23, size=(N, B, L)).astype(np.int32)

@@ -46,12 +46,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEVSEL = -1.0e30
 NEG_SENT = -(2 ** 31 // 8) * 7.0    # reference NEG_INT sentinel
-GROUP = 32
+GROUP = 128   # default pair-group width; launches pick adaptively
 NPLANE = 16     # parameter planes (10 used; padded for tile alignment)
 
 
 def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _group_for(B: int) -> int:
+    """Widest group <= batch (padded), capped at 128 (measured
+    saturation point, PERF.md)."""
+    for g in (128, 64, 32):
+        if B >= g:
+            return g
+    return 32
+
+
+def _k_for(G: int, La_p: int) -> int:
+    """Rows per grid step: keep the S block ~K*G*Np*4B =~ 2.6 MB."""
+    return max(4, min(La_p, 1024 // G))
 
 
 def _shift_left1(x, fill, j_iota, Wp):
@@ -76,7 +90,7 @@ def _cummax(t, j_iota, Wp):
 
 def _kernel_rows(prm_ref, s_ref, out_ref,
                  h_ref, g_ref, last_ref, bc_ref,
-                 *, K, La_p, Wp, Np, nrb, lw0):
+                 *, K, La_p, Wp, Np, nrb, lw0, G):
     """Grid step (b, d): rows d*K .. d*K+K-1 of one GROUP-pair group.
 
     s_ref block: (1, K, GROUP, Np) UNPACKED substitution rows straight
@@ -91,7 +105,6 @@ def _kernel_rows(prm_ref, s_ref, out_ref,
     steps.
     """
     d = pl.program_id(1)
-    G = GROUP
 
     def plane(k):
         return prm_ref[0, k, :, 0:1]       # (8, 1), broadcasts over lanes
@@ -221,7 +234,8 @@ def _prepare_and_launch(a_batch, b_batch, prm, mtx, *, La_p, Wp, dim, lw0,
                    precision=hi)                      # exact row select
     S = jnp.einsum("bmd,bnd->bmn", P, onehot_b, precision=hi)
     S = jnp.pad(S, ((0, 0), (0, La_p - Ma), (0, Np - Mb)))
-    S = S.reshape(Bp // GROUP, GROUP, La_p, Np).transpose(0, 2, 1, 3)
+    g = prm.shape[2]
+    S = S.reshape(Bp // g, g, La_p, Np).transpose(0, 2, 1, 3)
     return _launch(S, prm, La_p=La_p, Wp=Wp, Np=Np, lw0=lw0,
                    interpret=interpret)
 
@@ -229,27 +243,29 @@ def _prepare_and_launch(a_batch, b_batch, prm, mtx, *, La_p, Wp, dim, lw0,
 @functools.partial(jax.jit,
                    static_argnames=("La_p", "Wp", "Np", "lw0", "interpret"))
 def _launch(S, prm, *, La_p, Wp, Np, lw0, interpret=False):
-    """S: (BG, La_p, GROUP, Np) unpacked rows; prm: (BG, NPLANE,
-    GROUP, 128)."""
+    """S: (BG, La_p, G, Np) unpacked rows; prm: (BG, NPLANE, G, 128);
+    G (pairs per sublane block) is taken from the shapes -- wider
+    groups amortize the serial row-recurrence latency (PERF.md)."""
     BG = S.shape[0]
-    K = min(64, La_p)
+    G = S.shape[2]
+    K = _k_for(G, La_p)
     nrb = La_p // K
     kern = functools.partial(_kernel_rows, K=K, La_p=La_p, Wp=Wp, Np=Np,
-                             nrb=nrb, lw0=lw0)
+                             nrb=nrb, lw0=lw0, G=G)
 
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((BG, GROUP, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((BG, G, 128), jnp.float32),
         grid=(BG, nrb),
         in_specs=[
-            pl.BlockSpec((1, NPLANE, GROUP, 128), lambda b, d: (b, 0, 0, 0),
+            pl.BlockSpec((1, NPLANE, G, 128), lambda b, d: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, GROUP, Np), lambda b, d: (b, d, 0, 0),
+            pl.BlockSpec((1, K, G, Np), lambda b, d: (b, d, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, GROUP, 128), lambda b, d: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, G, 128), lambda b, d: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((GROUP, Wp), jnp.float32)
+        scratch_shapes=[pltpu.VMEM((G, Wp), jnp.float32)
                         for _ in range(4)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -277,7 +293,8 @@ def pallas_pairwise_scores(a_batch, b_batch, la, lb, mtx,
     La_p = max(8, La_p)
     lw0 = int(lw.min())
     Wp = _pad_to(int(up.max()) - lw0 + 1, 128)
-    pad_b = (-B) % GROUP
+    grp = _group_for(B)
+    pad_b = (-B) % grp
     if pad_b:
         a_batch = np.pad(a_batch, ((0, pad_b), (0, 0)))
         b_batch = np.pad(b_batch, ((0, pad_b), (0, 0)))
@@ -304,8 +321,8 @@ def pallas_pairwise_scores(a_batch, b_batch, la, lb, mtx,
     planes[:, 9] = up
     # (BG, NPLANE params, 8 pairs, 128 lanes)
     prm = np.broadcast_to(
-        planes.reshape(Bp // GROUP, GROUP, NPLANE, 1).transpose(0, 2, 1, 3),
-        (Bp // GROUP, NPLANE, GROUP, 128)).copy()
+        planes.reshape(Bp // grp, grp, NPLANE, 1).transpose(0, 2, 1, 3),
+        (Bp // grp, NPLANE, grp, 128)).copy()
 
     out = _prepare_and_launch(a_batch, b_batch, prm, mtx,
                               La_p=La_p, Wp=Wp, dim=dim, lw0=lw0,
