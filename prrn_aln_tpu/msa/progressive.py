@@ -87,6 +87,65 @@ def align_pair(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
     return score, skl, swapped
 
 
+def progressive_msa_forest(trees: list, leaves_list: list, mtx: np.ndarray,
+                           u: float, v: float, sh: int, spb: float = 20.0,
+                           mesh=None) -> list[Msa]:
+    """Level-synchronous progressive alignment over a FOREST: every
+    merge whose children are both built — across all trees and across
+    independent subtrees within one tree — runs in one
+    ``group_align_batch`` launch (sharded over ``mesh`` when given).
+
+    This is SURVEY P4 / the reference's per-subtree thread fan-out
+    (prrn5.cc:1151-1155) recast as device batching: the wall-clock per
+    round is one batched DP instead of one DP per merge.  Results are
+    identical to per-tree ``progressive_msa`` (same merges, same
+    order-independent padding buckets).
+    """
+    from ..ops.group import group_align_batch
+
+    total = max(sum(s.many for s in ls) for ls in leaves_list)
+    maxlen = max(max(s.length for s in ls) for ls in leaves_list)
+    pads = (total, 2 * maxlen)
+
+    built = []                       # per-tree node -> Msa
+    pending = []                     # per-tree list of unmerged internals
+    for tree, seqs in zip(trees, leaves_list):
+        b = {}
+        for node in tree.postorder():
+            if tree.is_leaf(node):
+                m = seqs[node]
+                if m.freq is None:
+                    m.prepare(mtx.shape[0])
+                b[node] = m
+        built.append(b)
+        pending.append([n for n in tree.postorder()
+                        if not tree.is_leaf(n)])
+
+    while any(pending):
+        jobs = []                    # (tree_idx, node, A, B, swapped)
+        for ti, tree in enumerate(trees):
+            for node in pending[ti]:
+                lc, rc = tree.left[node], tree.right[node]
+                if lc in built[ti] and rc in built[ti]:
+                    A, B = built[ti][lc], built[ti][rc]
+                    swapped = select_swap(A, B)
+                    if swapped:
+                        A, B = B, A
+                    jobs.append((ti, node, A, B, swapped))
+        assert jobs, "forest merge deadlock"
+        results = group_align_batch([(A, B) for _, _, A, B, _ in jobs],
+                                    mtx, u=u, v=v, sh=sh, pads=pads,
+                                    spb=spb, mesh=mesh)
+        for (ti, node, A, B, swapped), (_, skl) in zip(jobs, results):
+            merged = merge_msas(A, B, skl)
+            merged.prepare(mtx.shape[0])
+            built[ti].pop(trees[ti].left[node])
+            built[ti].pop(trees[ti].right[node])
+            built[ti][node] = merged
+            pending[ti].remove(node)
+    return [built[ti][tree.root] for ti, tree in enumerate(trees)]
+
+
 def progressive_msa(seqs: list[Msa], tree: Tree, mtx: np.ndarray,
                     u: float, v: float, sh: int, pads=None,
                     spb: float = 20.0) -> Msa:

@@ -220,18 +220,28 @@ def build_msa_denovo_large(records, params: AlnParams, molc: int,
     trees, singles = slforest.build_forest(n, edges, thr=params.thr,
                                            max_memb=max_memb)
     crand = GlibcRand(1)
-    sub_msas = []
+    # P4: batch the per-subtree progressive merges across the whole
+    # forest into level-synchronous group_align_batch launches
+    # (reference thread fan-out, prrn5.cc:1151-1155)
+    from .msa.progressive import progressive_msa_forest
+    ts, leaves_lists = [], []
     for t_node in trees:
         t, leaf_ids = slforest.slnode_to_tree(t_node)
-        leaves = [single(seqs[i], molc, names[i]) for i in leaf_ids]
-        m = progressive_msa(leaves, t, mtx, u=params.u, v=params.v,
-                            sh=params.sh)
-        if refine and m.many > 2:
-            res = refine_msa(m, mtx, u=params.u, v=params.v, sh=params.sh,
-                             maxitr=maxitr, randseed=randseed, crand=crand,
-                             nbatch=nbatch, mesh=mesh, divmode=divmode)
-            m = res.msa
-        sub_msas.append(m)
+        ts.append(t)
+        leaves_lists.append([single(seqs[i], molc, names[i])
+                             for i in leaf_ids])
+    sub_msas = []
+    if ts:
+        for m in progressive_msa_forest(ts, leaves_lists, mtx, u=params.u,
+                                        v=params.v, sh=params.sh,
+                                        mesh=mesh):
+            if refine and m.many > 2:
+                res = refine_msa(m, mtx, u=params.u, v=params.v,
+                                 sh=params.sh, maxitr=maxitr,
+                                 randseed=randseed, crand=crand,
+                                 nbatch=nbatch, mesh=mesh, divmode=divmode)
+                m = res.msa
+            sub_msas.append(m)
     runstat.stamp(len(sub_msas))      # subtrees aligned (prrn5.cc:1149)
 
     if dump_prefix is not None and sub_msas:
