@@ -38,7 +38,9 @@ def _out(msa, fmt: str, path=None, markeij: int = 0):
 def _emit(msa, args):
     """prrn output modes (Msa::output, prrn5.cc:1738-1806)."""
     if args.O & 1:
-        _out(msa, args.F, args.o, markeij=getattr(args, "pi", 0) and 1)
+        _out(msa, args.F, args.o,
+             markeij=(2 if getattr(args, "ph", False)
+                      else (1 if getattr(args, "pi", False) else 0)))
     need_tree = args.O & (2 | 4)
     if need_tree and msa.many > 2:
         from .msa import distance as dmod, tree as tmod, wsp
@@ -126,6 +128,8 @@ def prrn_main(argv=None) -> int:
                    help="output bits: 1=alignment, 2=outliers, 4=SP scores")
     p.add_argument("-YH", type=float, default=35.0,
                    help="consreg threshold (0 disables)")
+    p.add_argument("-ph", action="store_true", dest="ph",
+                   help="color intron positions as HTML (reference -ph)")
     p.add_argument("-pi", action="store_true", dest="pi",
                    help="color intron positions (ANSI escapes)")
     p.add_argument("-yJ", type=float, default=None,

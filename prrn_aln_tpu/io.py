@@ -319,7 +319,9 @@ def write_native_block(msa: Msa, path=None, width: int = 60,
     1-based residue start positions and '| name' trailers
     (sqpr.cc native print mode).  ``markeij=1`` colors intron-position
     residues with ANSI escapes instead of emitting the ;B block (the
-    reference's -pi mode)."""
+    reference's -pi mode); ``markeij=2`` emits the HTML variant
+    (reference -ph: HtmlCharCtl, iolib.cc:769-791, wraps the output in
+    <html><body><pre> and marks junctions with <font> tags)."""
     rows = [decode_row(msa, i) for i in range(msa.many)]
     pos = [1] * msa.many
     first = msa.names[0] if msa.names else "msa"
@@ -341,12 +343,24 @@ def write_native_block(msa: Msa, path=None, width: int = 60,
                     bg = marks.get((i, c))
                     if bg is not None:
                         k = c - start
-                        chars[k] = f"\x1b[37;{bg};1m{chars[k]}\x1b[0m"
+                        if markeij == 2:
+                            col = {41: "red", 42: "green",
+                                   44: "blue"}[bg]
+                            chars[k] = ('<b><font style="background-'
+                                        f'color:{col}">{chars[k]}'
+                                        "</font></b>")
+                        else:
+                            chars[k] = (f"\x1b[37;{bg};1m{chars[k]}"
+                                        "\x1b[0m")
                 disp = "".join(chars)
             out.append(f"{pos[i]:8d} {disp}| {msa.names[i]}")
             pos[i] += sum(1 for c in seg if c not in "- ")
         out.append("")
     text = "\n".join(out) + "\n"
+    if markeij == 2:
+        text = (f"<html>\n<head>\n<title>{first}</title>\n</head>\n"
+                "<body>\n<p>\n<pre>\n" + text
+                + "</pre>\n</p>\n</body>\n")
     if path:
         Path(path).write_text(text)
     return text

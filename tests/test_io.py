@@ -93,3 +93,23 @@ def test_native_msa_roundtrip(tmp_path):
     recs = io.read_native(path)
     assert [r.name for r in recs] == ["s1", "s2"]
     assert recs[0].seq == "MKVL-AAG"
+
+
+def test_html_intron_markup():
+    """-ph HTML variant of the -pi marking (reference HtmlCharCtl,
+    iolib.cc:769-791)."""
+    from prrn_aln_tpu import io as iomod
+    from prrn_aln_tpu.msa.msa import msa_from_strings
+    from prrn_aln_tpu import alphabet as ab
+    import numpy as np
+    m = msa_from_strings(["MKVLAAG", "MKVLAAG"], ab.PROTEIN, ["a", "b"])
+    m.eij = [np.array([9], np.int64), np.array([], np.int64)]
+    text = iomod.write_native_block(m, markeij=2)
+    assert text.startswith("<html>")
+    assert "<pre>" in text and "</body>" in text
+    assert 'background-color:red' in text or \
+        'background-color:green' in text or \
+        'background-color:blue' in text
+    # ANSI variant still intact
+    ansi = iomod.write_native_block(m, markeij=1)
+    assert "\x1b[37;4" in ansi
