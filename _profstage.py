@@ -26,14 +26,18 @@ print("Wp =", Wp, "lw0 =", lw0, flush=True)
 
 Np = pp._pad_to(max(L, Wp), 128)
 def build_S(a, b):
+    # mirrors pp._prepare_and_launch's round-4 direct-layout build
     Bp, Ma = a.shape
-    onehot_a = jax.nn.one_hot(a, dim, dtype=jnp.float32)
-    onehot_b = jax.nn.one_hot(b, dim, dtype=jnp.float32)
+    g = pp.GROUP
+    a_pad = jnp.pad(a, ((0, 0), (0, L - Ma)), constant_values=dim)
+    b_pad = jnp.pad(b, ((0, 0), (0, Np - b.shape[1])), constant_values=dim)
+    onehot_a = jax.nn.one_hot(a_pad, dim, dtype=jnp.float32)
+    onehot_b = jax.nn.one_hot(b_pad, dim, dtype=jnp.float32)
     P = jnp.einsum("bmc,cd->bmd", onehot_a, mtxd.astype(jnp.float32),
                    precision=hi)
-    S = jnp.einsum("bmd,bnd->bmn", P, onehot_b, precision=hi)
-    S = jnp.pad(S, ((0, 0), (0, L - Ma), (0, Np - b.shape[1])))
-    return S.reshape(Bp // pp.GROUP, pp.GROUP, L, Np).transpose(0, 2, 1, 3)
+    return jnp.einsum("bgmd,bgnd->bgmn",
+                      P.reshape(Bp // g, g, L, dim),
+                      onehot_b.reshape(Bp // g, g, Np, dim), precision=hi)
 
 def mk(stage):
     @jax.jit

@@ -64,8 +64,10 @@ def _group_for(B: int) -> int:
 
 
 def _k_for(G: int, La_p: int) -> int:
-    """Rows per grid step: keep the S block ~K*G*Np*4B =~ 2.6 MB."""
-    return max(4, min(La_p, 1024 // G))
+    """Rows per grid step: keep the S block ~K*G*Np*4B =~ 2.6 MB.
+    K is the second-to-last dim of the S block, so it must be a
+    multiple of 8 (f32 sublane tiling) unless it equals La_p."""
+    return max(8, min(La_p, _pad_to(1024 // G, 8)))
 
 
 def _shift_left1(x, fill, j_iota, Wp):
@@ -86,6 +88,36 @@ def _cummax(t, j_iota, Wp):
         t = jnp.maximum(t, jnp.where(j_iota < k, NEVSEL, r))
         k <<= 1
     return t
+
+
+def _cummax_2l(t, Wp):
+    """Two-level running max along lanes (PERF.md item 3).
+
+    Level 1: independent 7-step prefix maxima inside each 128-lane tile
+    (the T per-tile chains are independent, so the VPU overlaps them);
+    level 2: a T-step carry of tile maxima.  Versus the flat log2(Wp)
+    scan this shortens the *dependent* chain from log2(Wp) full-width
+    rolls to 7 tile rolls + (T-1) broadcast maxima, and each roll moves
+    Wp/T lanes instead of Wp."""
+    G = t.shape[0]
+    j128 = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
+    T = Wp // 128
+    if T <= 1:
+        return _cummax(t, j128.astype(t.dtype), Wp)
+    tiles = [t[:, i * 128:(i + 1) * 128] for i in range(T)]
+    k = 1
+    while k < 128:
+        tiles = [jnp.maximum(x, jnp.where(j128 < k, NEVSEL,
+                                          pltpu.roll(x, k, axis=1)))
+                 for x in tiles]
+        k <<= 1
+    out = [tiles[0]]
+    carry = tiles[0][:, 127:128]
+    for i in range(1, T):
+        cur = jnp.maximum(tiles[i], carry)
+        out.append(cur)
+        carry = cur[:, 127:128]
+    return jnp.concatenate(out, axis=1)
 
 
 def _kernel_rows(prm_ref, s_ref, out_ref,
@@ -149,7 +181,7 @@ def _kernel_rows(prm_ref, s_ref, out_ref,
     def row(i, carry):
         H, Gv, LR, BC = carry
         mf = (d * K + i).astype(jnp.float32)
-        s_row = pltpu.roll(s_ref[0, i],
+        s_row = pltpu.roll(s_ref[0, :, i, :],
                            jnp.mod(-(d * K + i + lw0), Np),
                            axis=1)[:, :Wp]
         n_vec = mf + lw0 + j_iota
@@ -171,7 +203,7 @@ def _kernel_rows(prm_ref, s_ref, out_ref,
         C = (_shift_right1(X, NEG_SENT, j_iota) - v) - u
         C = jnp.where((j_iota == 0) & (n_vec == 0.0) & colb_ok,
                       (colb - v) - u, C)
-        M = _cummax(C + ju, j_iota, Wp)
+        M = _cummax_2l(C + ju, Wp)
         E = M - ju
         H0 = jnp.maximum(X, E)
         H0 = jnp.where(valid, H0, jnp.where(virt, colb + 0.0 * j_iota,
@@ -228,14 +260,23 @@ def _prepare_and_launch(a_batch, b_batch, prm, mtx, *, La_p, Wp, dim, lw0,
     Mb = b_batch.shape[1]
     Np = _pad_to(max(Mb, Wp), 128)
     hi = jax.lax.Precision.HIGHEST
-    onehot_a = jax.nn.one_hot(a_batch, dim, dtype=jnp.float32)
-    onehot_b = jax.nn.one_hot(b_batch, dim, dtype=jnp.float32)
+    g = prm.shape[2]
+    # pad the (tiny) code arrays with an out-of-range code so their
+    # one-hot rows are all-zero: S comes out of the einsum already
+    # padded AND in the kernel's (BG, G, rows, cols) layout -- no
+    # 671 MB pad/transpose materialization pass (round-4 fix).
+    a_pad = jnp.pad(a_batch, ((0, 0), (0, La_p - Ma)),
+                    constant_values=dim)
+    b_pad = jnp.pad(b_batch, ((0, 0), (0, Np - Mb)),
+                    constant_values=dim)
+    onehot_a = jax.nn.one_hot(a_pad, dim, dtype=jnp.float32)
+    onehot_b = jax.nn.one_hot(b_pad, dim, dtype=jnp.float32)
     P = jnp.einsum("bmc,cd->bmd", onehot_a, mtx.astype(jnp.float32),
                    precision=hi)                      # exact row select
-    S = jnp.einsum("bmd,bnd->bmn", P, onehot_b, precision=hi)
-    S = jnp.pad(S, ((0, 0), (0, La_p - Ma), (0, Np - Mb)))
-    g = prm.shape[2]
-    S = S.reshape(Bp // g, g, La_p, Np).transpose(0, 2, 1, 3)
+    S = jnp.einsum("bgmd,bgnd->bgmn",
+                   P.reshape(Bp // g, g, La_p, dim),
+                   onehot_b.reshape(Bp // g, g, Np, dim),
+                   precision=hi)
     return _launch(S, prm, La_p=La_p, Wp=Wp, Np=Np, lw0=lw0,
                    interpret=interpret)
 
@@ -243,11 +284,13 @@ def _prepare_and_launch(a_batch, b_batch, prm, mtx, *, La_p, Wp, dim, lw0,
 @functools.partial(jax.jit,
                    static_argnames=("La_p", "Wp", "Np", "lw0", "interpret"))
 def _launch(S, prm, *, La_p, Wp, Np, lw0, interpret=False):
-    """S: (BG, La_p, G, Np) unpacked rows; prm: (BG, NPLANE, G, 128);
-    G (pairs per sublane block) is taken from the shapes -- wider
-    groups amortize the serial row-recurrence latency (PERF.md)."""
+    """S: (BG, G, La_p, Np) unpacked rows (pair-major: the natural
+    einsum output layout, read with a per-row sublane slice in the
+    kernel); prm: (BG, NPLANE, G, 128); G (pairs per sublane block) is
+    taken from the shapes -- wider groups amortize the serial
+    row-recurrence latency (PERF.md)."""
     BG = S.shape[0]
-    G = S.shape[2]
+    G = S.shape[1]
     K = _k_for(G, La_p)
     nrb = La_p // K
     kern = functools.partial(_kernel_rows, K=K, La_p=La_p, Wp=Wp, Np=Np,
@@ -260,7 +303,7 @@ def _launch(S, prm, *, La_p, Wp, Np, lw0, interpret=False):
         in_specs=[
             pl.BlockSpec((1, NPLANE, G, 128), lambda b, d: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, G, Np), lambda b, d: (b, d, 0, 0),
+            pl.BlockSpec((1, G, K, Np), lambda b, d: (b, 0, d, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, G, 128), lambda b, d: (b, 0, 0),
