@@ -35,9 +35,18 @@ def build_S(a, b):
     onehot_b = jax.nn.one_hot(b_pad, dim, dtype=jnp.float32)
     P = jnp.einsum("bmc,cd->bmd", onehot_a, mtxd.astype(jnp.float32),
                    precision=hi)
-    return jnp.einsum("bgmd,bgnd->bgmn",
+    S = jnp.einsum("bgmd,bgnd->bgmn",
                       P.reshape(Bp // g, g, L, dim),
                       onehot_b.reshape(Bp // g, g, Np, dim), precision=hi)
+    lav = prmd[:, 0, :, 0][:, :, None, None]
+    lbv = prmd[:, 1, :, 0][:, :, None, None]
+    lwv = prmd[:, 8, :, 0][:, :, None, None]
+    upv = prmd[:, 9, :, 0][:, :, None, None]
+    m_i = jnp.arange(L, dtype=jnp.float32)[None, None, :, None]
+    n_i = jnp.arange(Np, dtype=jnp.float32)[None, None, None, :]
+    r = n_i - m_i
+    ok = ((r >= lwv) & (r <= upv) & (m_i < lav) & (n_i < lbv))
+    return jnp.where(ok, S, pp.NEG_SENT)
 
 def mk(stage):
     @jax.jit

@@ -194,15 +194,18 @@ def _kernel_rows(prm_ref, s_ref, out_ref,
         Gs = _shift_left1(Gv, NEVSEL, j_iota, Wp)
         G0 = jnp.maximum(Hs - v, Gs) - u
         D0 = H + s_row
+        # S is pre-masked to NEG_SENT outside band/rectangle (XLA
+        # epilogue of the S einsum), and H carries NEG_SENT on invalid
+        # lanes, so X needs no select here: invalid lanes sit around
+        # NEG_SENT and never win the E-scan below.
         X = jnp.maximum(D0, G0)
         valid = (n_vec >= 0.0) & (n_vec < lb) & jband
         virt = (n_vec == -1.0) & colb_ok
-        X = jnp.where(valid, X, jnp.where(virt, colb + 0.0 * j_iota,
-                                          NEG_SENT))
 
         C = (_shift_right1(X, NEG_SENT, j_iota) - v) - u
-        C = jnp.where((j_iota == 0) & (n_vec == 0.0) & colb_ok,
-                      (colb - v) - u, C)
+        # left-boundary horizontal open: the n==0 lane's predecessor is
+        # the virtual column n=-1 (X there is NEG since S is masked)
+        C = jnp.where((n_vec == 0.0) & colb_ok, (colb - v) - u, C)
         M = _cummax_2l(C + ju, Wp)
         E = M - ju
         H0 = jnp.maximum(X, E)
@@ -216,8 +219,10 @@ def _kernel_rows(prm_ref, s_ref, out_ref,
         BC = jnp.maximum(BC, cand)
         return H0, G0, LR, BC
 
-    H, Gv, LR, BC = jax.lax.fori_loop(
-        0, K, row, (h_ref[...], g_ref[...], last_ref[...], bc_ref[...]))
+    carry = (h_ref[...], g_ref[...], last_ref[...], bc_ref[...])
+    for i in range(K):   # static unroll: lets Mosaic overlap row chains
+        carry = row(i, carry)
+    H, Gv, LR, BC = carry
     h_ref[...] = H
     g_ref[...] = Gv
     last_ref[...] = LR
@@ -277,6 +282,18 @@ def _prepare_and_launch(a_batch, b_batch, prm, mtx, *, La_p, Wp, dim, lw0,
                    P.reshape(Bp // g, g, La_p, dim),
                    onehot_b.reshape(Bp // g, g, Np, dim),
                    precision=hi)
+    # pre-mask out-of-band / out-of-rectangle cells with the NEG
+    # sentinel in the einsum epilogue (fused by XLA): the kernel then
+    # needs no X-select per row — invalid lanes self-propagate NEG.
+    lav = prm[:, 0, :, 0][:, :, None, None]
+    lbv = prm[:, 1, :, 0][:, :, None, None]
+    lwv = prm[:, 8, :, 0][:, :, None, None]
+    upv = prm[:, 9, :, 0][:, :, None, None]
+    m_i = jnp.arange(La_p, dtype=jnp.float32)[None, None, :, None]
+    n_i = jnp.arange(Np, dtype=jnp.float32)[None, None, None, :]
+    r = n_i - m_i
+    ok = ((r >= lwv) & (r <= upv) & (m_i < lav) & (n_i < lbv))
+    S = jnp.where(ok, S, NEG_SENT)
     return _launch(S, prm, La_p=La_p, Wp=Wp, Np=Np, lw0=lw0,
                    interpret=interpret)
 
