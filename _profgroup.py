@@ -48,7 +48,7 @@ def group_dp_gcups(reps=3):
            for (A, B), w in zip(pairs, wdws)]
     import jax.numpy as jnp
     batched = [jnp.stack([x[k] for x in ins]) for k in range(len(ins[0]))]
-    vm = jax.jit(jax.vmap(lambda *args: gops._wavefront_group(
+    vm = jax.jit(jax.vmap(lambda *args: gops._wavefront_from_profiles(
         *args, nslot=nslot, nsteps=nsteps, an=an_pad, bn=an_pad,
         la_max=la_max, lb_max=lb_max)[0]))
     np.asarray(vm(*batched))

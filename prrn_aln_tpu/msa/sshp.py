@@ -277,6 +277,25 @@ def score_image(prof_a: np.ndarray | None, prof_b: np.ndarray | None,
     return (prof_a * prm.factors[None, :]) @ prof_b.T
 
 
+def pair_channels(A, B, prm: SsHpPrm | None = None):
+    """Low-rank factors of ``pair_image``: returns (pa*facts, pb) so the
+    (La, Lb) image can be built on device as one small matmul channel
+    block, or None when the term is inactive (same gating as
+    pair_image / maln2.cc:487)."""
+    if prm is None:
+        prm = _active
+    if prm is None or prm.nelems == 0:
+        return None
+    if A.molc != ab.PROTEIN or B.molc != ab.PROTEIN:
+        return None
+    pa = msa_profile(A.codes, A.weight, prm)
+    pb = msa_profile(B.codes, B.weight, prm)
+    if pa is None or pb is None:
+        return None
+    return ((pa * prm.factors[None, :]).astype(np.float32),
+            pb.astype(np.float32))
+
+
 def pair_image(A, B, prm: SsHpPrm | None = None) -> np.ndarray | None:
     """ssp DP score image (La, Lb) for two prepared protein Msa groups;
     None when inactive, non-protein, or either side is shorter than

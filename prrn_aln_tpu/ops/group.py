@@ -41,10 +41,7 @@ def _bucket(x: int, q: int = 64) -> int:
     return ((x + q - 1) // q) * q
 
 
-@functools.partial(
-    jax.jit, static_argnames=("nslot", "nsteps", "an", "bn", "la_max",
-                              "lb_max", "ls3"))
-def _wavefront_group(
+def _wavefront_core(
     S,            # (la_max, lb_max) column score table (incl. full-phase
                   # intron diag bonus, folded in by the packers)
     B0,           # (la_max, lb_max) phase-0 intron bonus to the winning
@@ -336,6 +333,36 @@ def _wavefront_group(
     return score, dirs, opens
 
 
+_wavefront_group = functools.partial(
+    jax.jit, static_argnames=("nslot", "nsteps", "an", "bn", "la_max",
+                              "lb_max", "ls3"))(_wavefront_core)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nslot", "nsteps", "an", "bn", "la_max",
+                              "lb_max", "ls3"))
+def _wavefront_from_profiles(
+    CA, CB,       # (la_max, C) / (lb_max, C) channel stacks: the score
+                  # image S = CA @ CB.T is built HERE on the MXU, so
+                  # only O(L*C) bytes cross the host->device link per
+                  # pair instead of the O(La*Lb) image (round-3 e2e
+                  # bottleneck: ~19 MB/batch over a ~2 MB/s tunnel)
+    ea0, eb0,     # (la_max,) / (lb_max,) phase-0 eij densities: B0 outer
+    na_a, gda, pga, na_b, gdb, pgb, cfa, efa, cfb, efb, wa, wb,
+    la, lb, lw, up, u, gop_scale,
+    v2divv1=np.float32(0.0), u2divu1=np.float32(0.0),
+    k1=np.int32(10 ** 9),
+    *, nslot, nsteps, an, bn, la_max, lb_max, ls3=False,
+):
+    S = jnp.matmul(CA, CB.T, precision=jax.lax.Precision.HIGHEST)
+    B0 = ea0[:, None] * eb0[None, :]
+    return _wavefront_core(
+        S, B0, na_a, gda, pga, na_b, gdb, pgb, cfa, efa, cfb, efb,
+        wa, wb, la, lb, lw, up, u, gop_scale, v2divv1, u2divu1, k1,
+        nslot=nslot, nsteps=nsteps, an=an, bn=bn,
+        la_max=la_max, lb_max=lb_max, ls3=ls3)
+
+
 def _bonus_images(A: Msa, B: Msa, la_max: int, lb_max: int, spb: float,
                   scale: float = 1.0):
     """Intron-position bonus images (fwd2c.h:306-312): BD (all phases,
@@ -350,6 +377,84 @@ def _bonus_images(A: Msa, B: Msa, la_max: int, lb_max: int, spb: float,
         B0[:A.length, :B.length] = (scale * spb) * np.outer(EA[:, 0],
                                                             EB[:, 0])
     return BD, B0
+
+
+NSHP = 6      # max sshp propensity channels (sshp.py SsHpPrm.factors)
+NEIJ = 3      # intron phase channels (msa.eijdns)
+
+
+def _pack_profiles(A: Msa, B: Msa, mtx, la_max: int, lb_max: int,
+                   spb: float = 0.0, scale: float = 1.0):
+    """Channel stacks for the on-device score-image build.
+
+    S = CA @ CB.T reproduces  freqA*mtx*freqB^T  (profile similarity,
+    mseq.cc:413-435 VECPRO x frequency)  +  scale*spb*(EA @ EB^T)  (all-
+    phase intron-position bonus, fwd2c.h:306-312)  +  sshp channels
+    (maln2.cc:1778-1792); ea0/eb0 give the phase-0 gap-lane bonus outer
+    product.  Only these O(L x C) stacks cross the host->device link —
+    the O(La*Lb) image is built by the MXU in
+    ``_wavefront_from_profiles``.
+    """
+    dim = mtx.shape[1]
+    C = dim + NEIJ + NSHP
+    La, Lb = A.length, B.length
+    CA = np.zeros((la_max, C), np.float32)
+    CB = np.zeros((lb_max, C), np.float32)
+    CA[:La, :dim] = (A.freq.astype(np.float64)
+                     @ mtx.astype(np.float64)).astype(np.float32)
+    CB[:Lb, :dim] = B.freq.astype(np.float32)
+    ea0 = np.zeros(la_max, np.float32)
+    eb0 = np.zeros(lb_max, np.float32)
+    if spb > 0 and A.eijdns is not None and B.eijdns is not None:
+        EA = A.eijdns[:La]
+        EB = B.eijdns[:Lb]
+        k = min(EA.shape[1], NEIJ)
+        CA[:La, dim:dim + k] = (scale * spb) * EA[:, :k]
+        CB[:Lb, dim:dim + k] = EB[:, :k]
+        ea0[:La] = (scale * spb) * EA[:, 0]
+        eb0[:Lb] = EB[:, 0]
+    ss = _sshp.pair_channels(A, B)
+    if ss is not None:
+        qa, qb = ss
+        k2 = min(qa.shape[1], NSHP)
+        CA[:La, dim + NEIJ:dim + NEIJ + k2] = qa[:, :k2]
+        CB[:Lb, dim + NEIJ:dim + NEIJ + k2] = qb[:, :k2]
+    return CA, CB, ea0, eb0
+
+
+def _pack_cols(A: Msa, B: Msa, pa: int, pb: int, la_max: int, lb_max: int):
+    """Padded per-column gap/thickness arrays + member weights
+    (the non-image operands of the wavefront kernel)."""
+    na_a, gda, pga = _col_arrays(A)
+    na_b, gdb, pgb = _col_arrays(B)
+    an, bn = A.many, B.many
+
+    def padc(x, rows, cols):
+        out = np.zeros((rows, cols), np.float32)
+        out[:x.shape[0], :x.shape[1]] = x
+        return out
+
+    na_a, gda, pga = (padc(x, la_max + 1, pa) for x in (na_a, gda, pga))
+    na_b, gdb, pgb = (padc(x, lb_max + 1, pb) for x in (na_b, gdb, pgb))
+    na_a[:, an:] = 1.0
+    pga[:, an:] = 1.0
+    na_b[:, bn:] = 1.0
+    pgb[:, bn:] = 1.0
+
+    def pad1(x, rows):
+        out = np.zeros(rows, np.float32)
+        out[:x.shape[0]] = x
+        return out
+
+    cfa = pad1(A.cfq[:A.length + 1], la_max + 1)
+    efa = pad1(A.efq[:A.length + 1], la_max + 1)
+    cfb = pad1(B.cfq[:B.length + 1], lb_max + 1)
+    efb = pad1(B.efq[:B.length + 1], lb_max + 1)
+    wa = np.zeros(pa, np.float32)
+    wa[:an] = (A.weight if A.weight is not None else np.ones(an))
+    wb = np.zeros(pb, np.float32)
+    wb[:bn] = (B.weight if B.weight is not None else np.ones(bn))
+    return na_a, gda, pga, na_b, gdb, pgb, cfa, efa, cfb, efb, wa, wb
 
 
 def skl_in_band(skl, lw: int, up: int) -> bool:
@@ -395,63 +500,31 @@ def group_align(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
         nslot = _bucket(up - lw + 3)
         nsteps = _bucket(La + Lb + 1)
 
-    S = np.zeros((la_max, lb_max), np.float32)
-    S[:La, :Lb] = np.einsum(
-        "mc,cd,nd->mn", A.freq.astype(np.float64), mtx.astype(np.float64),
-        B.freq.astype(np.float64)).astype(np.float32)
-    BD, B0 = _bonus_images(A, B, la_max, lb_max, spb, scale)
-    if BD is not None:
-        S[:La, :Lb] += BD
-    SS = _sshp.pair_image(A, B)
-    if SS is not None:               # -ys/-yh/-yr propensity term
-        S[:La, :Lb] += SS
-
-    na_a, gda, pga = _col_arrays(A)
-    na_b, gdb, pgb = _col_arrays(B)
-
-    def padc(x, rows, cols):
-        """Pad columns (length) with zeros and members with zero-weight
-        phantom residues (na=1, gd=0, pg=1 -- all weighted by w=0)."""
-        out = np.zeros((rows, max(cols, x.shape[1])), np.float32)
-        out[:x.shape[0], :x.shape[1]] = x
-        return out
-
+    CA, CB, ea0, eb0 = _pack_profiles(A, B, mtx, la_max, lb_max,
+                                      spb=spb, scale=scale)
     pa = max(an_pad, an)
     pb = max(an_pad, bn)
-    na_a, gda, pga = (padc(x, la_max + 1, pa) for x in (na_a, gda, pga))
-    na_b, gdb, pgb = (padc(x, lb_max + 1, pb) for x in (na_b, gdb, pgb))
-    na_a[:, an:] = 1.0
-    pga[:, an:] = 1.0
-    na_b[:, bn:] = 1.0
-    pgb[:, bn:] = 1.0
-
-    def pad1(x, rows):
-        out = np.zeros(rows, np.float32)
-        out[:x.shape[0]] = x
-        return out
-
-    cfa = pad1(A.cfq[:La + 1], la_max + 1)
-    efa = pad1(A.efq[:La + 1], la_max + 1)
-    cfb = pad1(B.cfq[:Lb + 1], lb_max + 1)
-    efb = pad1(B.efq[:Lb + 1], lb_max + 1)
-    wa = np.zeros(pa, np.float32)
-    wa[:an] = (A.weight if A.weight is not None else np.ones(an))
-    wb = np.zeros(pb, np.float32)
-    wb[:bn] = (B.weight if B.weight is not None else np.ones(bn))
+    cols = _pack_cols(A, B, pa, pb, la_max, lb_max)
 
     ls3 = ls >= 3
     v2divv1 = (v + (u - u1) * k1) / v if ls3 else 0.0
     u2divu1 = (u1 / u) if ls3 else 0.0
-    score, dirs, opens = _wavefront_group(
-        S, B0, na_a, gda, pga, na_b, gdb, pgb, cfa, efa, cfb, efb, wa, wb,
+    score, dirs, opens = _wavefront_from_profiles(
+        CA, CB, ea0, eb0, *cols,
         np.int32(La), np.int32(Lb), np.int32(lw), np.int32(up),
         np.float32(u), np.float32(-scale * v),
         np.float32(v2divv1), np.float32(u2divu1),
         np.int32(k1 if ls3 else 10 ** 9),
         nslot=nslot, nsteps=nsteps, an=pa, bn=pb,
         la_max=la_max, lb_max=lb_max, ls3=ls3)
-    skl = _traceback_wave(np.asarray(dirs), np.asarray(opens),
-                          La, Lb, lw)
+    # walk the traceback on device: fetch O(La+Lb) moves, not the
+    # (nsteps, nslot) planes (~0.8 MB/pair over a ~2 MB/s tunnel)
+    max_iters = _bucket(2 * (La + Lb) + 4, 512)
+    moves, cnt = _traceback_device(
+        dirs, opens, jnp.int32(La), jnp.int32(Lb), jnp.int32(lw),
+        max_iters=max_iters)
+    moves = np.asarray(moves)[:int(cnt)][::-1]
+    skl = _moves_to_skl(moves, La, Lb)
     if not _retried and (float(score) <= NEVSEL / 2
                          or not skl_in_band(skl, lw, up)):
         wide = stripe(La, Lb, -100)
@@ -459,6 +532,115 @@ def group_align(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
                            pads=pads, spb=spb, ls=ls, u1=u1, k1=k1,
                            _retried=True)
     return float(score), skl
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def _traceback_device(dirs, opens, La, Lb, lw, *, max_iters):
+    """Device-side traceback walk over the per-step direction planes.
+
+    A `lax.while_loop` replays the host walk of ``_traceback_wave`` on
+    device, so only the O(La+Lb) move list crosses the tunnel instead
+    of the full (nsteps, nslot) int8 planes (~25 MB/batch at ~2 MB/s:
+    PERF.md round-3 e2e bottleneck).  Returns (moves, nmoves) with
+    moves recorded end-to-start; the host reverses and converts to an
+    SKL.  Replaces the reference's Vmf chain walk (src/vmf.h:36-57).
+    """
+    nsteps = dirs.shape[0]
+    i8 = jnp.int8
+
+    # lane codes: 0=H 1=G 2=G2 3=F 4=F2
+    def cond(st):
+        m, n, lane, cnt, it, moves = st
+        # `it` bounds the walk against corrupt planes (a bad path is
+        # caught by the caller's skl_in_band corner-miss retry)
+        return ((m > 0) | (n > 0)) & (it < 3 * max_iters)
+
+    def body(st):
+        m, n, lane, cnt, it, moves = st
+        d = m + n
+        slot = -(lw - 1) + (n - m)
+        ok = (d > 0) & (d < nsteps)
+        dc = jnp.clip(d, 0, nsteps - 1)
+        src = jnp.where(ok, dirs[dc, slot], -1).astype(jnp.int32)
+        op = jnp.where(ok, opens[dc, slot], 0).astype(jnp.int32)
+
+        is_h = lane == 0
+        is_g = (lane == 1) | (lane == 2)
+        # H-lane transition
+        h_diag = is_h & (src == DIAG)
+        h_lane = jnp.where(src == VERT, 1,
+                  jnp.where(src == VERT2, 2,
+                   jnp.where(src == HORI2, 4, 3)))
+        # gap lanes
+        g_open = jnp.where(lane == 1, op & 1, op & 4) != 0
+        f_open = jnp.where(lane == 3, op & 2, op & 8) != 0
+
+        emit = jnp.where(is_h, jnp.where(h_diag, DIAG, -1),
+                 jnp.where(is_g, VERT, HORI)).astype(jnp.int32)
+        new_m = jnp.where(h_diag | is_g, m - 1, m)
+        new_n = jnp.where(h_diag | (~is_h & ~is_g), n - 1, n)
+        new_lane = jnp.where(is_h,
+                     jnp.where(h_diag, 0, h_lane),
+                     jnp.where(is_g,
+                       jnp.where(g_open | (new_n == 0), 0, lane),
+                       jnp.where(f_open | (new_m == 0), 0, lane)))
+        # always write at cnt (a -1 is overwritten by the next emit,
+        # since cnt only advances on emits)
+        moves = jax.lax.dynamic_update_index_in_dim(
+            moves, emit.astype(i8), jnp.clip(cnt, 0, max_iters - 1), 0)
+        cnt = cnt + jnp.where(emit >= 0, 1, 0)
+        return new_m, new_n, new_lane, cnt, it + 1, moves
+
+    st = (La.astype(jnp.int32), Lb.astype(jnp.int32), jnp.int32(0),
+          jnp.int32(0), jnp.int32(0), jnp.full((max_iters,), -1, i8))
+    m, n, lane, cnt, it, moves = jax.lax.while_loop(cond, body, st)
+    return moves, jnp.minimum(cnt, max_iters)
+
+
+def _moves_to_skl(moves, La: int, Lb: int):
+    """Forward move list (DIAG/VERT/HORI) -> SKL vertex list."""
+    skl = [(0, 0)]
+    mm = nn = 0
+    prev = None
+    for mv in moves:
+        if prev is not None and mv != prev:
+            skl.append((mm, nn))
+        if mv == DIAG:
+            mm += 1
+            nn += 1
+        elif mv == VERT:
+            mm += 1
+        else:
+            nn += 1
+        prev = mv
+    skl.append((La, Lb))
+    return skl
+
+
+@functools.lru_cache(maxsize=64)
+def _tb_fn(max_iters):
+    return jax.jit(jax.vmap(functools.partial(_traceback_device,
+                                              max_iters=max_iters)))
+
+
+def traceback_batch(dirs, opens, las, lbs, lws, la_max: int, lb_max: int):
+    """Walk a whole batch of traceback planes on device; return SKLs.
+
+    dirs/opens: (B, nsteps, nslot) device arrays.  One vmapped
+    while_loop + one small fetch of the (B, max_iters) move lists.
+    """
+    max_iters = 2 * (la_max + lb_max) + 4
+    fn = _tb_fn(max_iters)
+    moves, cnts = fn(dirs, opens,
+                     jnp.asarray(las, jnp.int32), jnp.asarray(lbs, jnp.int32),
+                     jnp.asarray(lws, jnp.int32))
+    moves = np.asarray(moves)
+    cnts = np.asarray(cnts)
+    out = []
+    for k in range(moves.shape[0]):
+        mv = moves[k, :cnts[k]][::-1]
+        out.append(_moves_to_skl(mv, int(las[k]), int(lbs[k])))
+    return out
 
 
 def _traceback_wave(dirs: np.ndarray, opens: np.ndarray, La: int, Lb: int,
@@ -521,6 +703,17 @@ def _traceback_wave(dirs: np.ndarray, opens: np.ndarray, La: int, Lb: int,
     return skl
 
 
+@functools.lru_cache(maxsize=64)
+def _batch_fn(nslot, nsteps, an, bn, la_max, lb_max):
+    """Cached jit(vmap(wavefront)) per shape bucket: rebuilding the
+    lambda per call forced a full retrace every batch (~5 s/batch of
+    pure tracing overhead in round 3)."""
+    return jax.jit(jax.vmap(
+        lambda *args: _wavefront_from_profiles(
+            *args, nslot=nslot, nsteps=nsteps, an=an, bn=bn,
+            la_max=la_max, lb_max=lb_max)))
+
+
 def group_align_batch(pairs, mtx, u: float, v: float, sh: int,
                       pads: tuple[int, int], spb: float = 0.0,
                       scale: float = 1.0, mesh=None):
@@ -559,20 +752,24 @@ def group_align_batch(pairs, mtx, u: float, v: float, sh: int,
         from jax.sharding import NamedSharding, PartitionSpec as P
         shard = NamedSharding(mesh, P(mesh.axis_names[0]))
         batched = [jax.device_put(x, shard) for x in batched]
-    vm = jax.jit(jax.vmap(
-        lambda *args: _wavefront_group(
-            *args, nslot=nslot, nsteps=nsteps, an=an_pad, bn=an_pad,
-            la_max=la_max, lb_max=lb_max)))
+    vm = _batch_fn(nslot, nsteps, an_pad, an_pad, la_max, lb_max)
     score, dirs, opens = vm(*batched)
     global LAST_BATCH_SHARDING
     LAST_BATCH_SHARDING = getattr(dirs, "sharding", None)
-    # one bulk device->host fetch for the whole batch (per-pair fetches
-    # cost a round-trip each, which dominates on a tunneled device)
-    dirs_np, opens_np = np.asarray(dirs), np.asarray(opens)
+    # device-side traceback: the while_loop walk fetches only the move
+    # lists (~KBs) instead of the full int8 planes (~25 MB/batch --
+    # the round-3 e2e bottleneck at ~2 MB/s tunnel bandwidth)
+    las = np.array([A.length for A, B in pairs]
+                   + [pairs[0][0].length] * pad_n, np.int32)
+    lbs = np.array([B.length for A, B in pairs]
+                   + [pairs[0][1].length] * pad_n, np.int32)
+    lws = np.array([w.lw for w in wdws] + [wdws[0].lw] * pad_n, np.int32)
+    skls = traceback_batch(dirs, opens, las, lbs, lws, la_max, lb_max)
+    score = np.asarray(score)    # ONE bulk fetch (per-pair float()
+    # round-trips cost ~35 ms each over the tunnel)
     out = []
     for k, ((A, B), w) in enumerate(zip(pairs, wdws)):
-        skl = _traceback_wave(dirs_np[k], opens_np[k],
-                              A.length, B.length, w.lw)
+        skl = skls[k]
         if (float(score[k]) <= NEVSEL / 2
                 or not skl_in_band(skl, w.lw, w.up)):
             # corner-miss recovery (maln2.cc:1944-1952): redo this item
@@ -587,48 +784,13 @@ def group_align_batch(pairs, mtx, u: float, v: float, sh: int,
 
 def _pack_inputs(A: Msa, B: Msa, mtx, u, v, wdw, an_pad, la_max, lb_max,
                  spb: float = 0.0, scale: float = 1.0):
-    """Build the _wavefront_group argument tuple for one pair."""
-    La, Lb = A.length, B.length
-    an, bn = A.many, B.many
-    S = np.zeros((la_max, lb_max), np.float32)
-    S[:La, :Lb] = np.einsum(
-        "mc,cd,nd->mn", A.freq.astype(np.float64), mtx.astype(np.float64),
-        B.freq.astype(np.float64)).astype(np.float32)
-    BD, B0 = _bonus_images(A, B, la_max, lb_max, spb, scale)
-    if BD is not None:
-        S[:La, :Lb] += BD
-    SS = _sshp.pair_image(A, B)
-    if SS is not None:               # -ys/-yh/-yr propensity term
-        S[:La, :Lb] += SS
-    na_a, gda, pga = _col_arrays(A)
-    na_b, gdb, pgb = _col_arrays(B)
-
-    def padc(x, rows, cols):
-        out = np.zeros((rows, cols), np.float32)
-        out[:x.shape[0], :x.shape[1]] = x
-        return out
-
-    na_a, gda, pga = (padc(x, la_max + 1, an_pad) for x in (na_a, gda, pga))
-    na_b, gdb, pgb = (padc(x, lb_max + 1, an_pad) for x in (na_b, gdb, pgb))
-    na_a[:, an:] = 1.0
-    pga[:, an:] = 1.0
-    na_b[:, bn:] = 1.0
-    pgb[:, bn:] = 1.0
-
-    def pad1(x, rows):
-        out = np.zeros(rows, np.float32)
-        out[:x.shape[0]] = x
-        return out
-
-    cfa = pad1(A.cfq[:La + 1], la_max + 1)
-    efa = pad1(A.efq[:La + 1], la_max + 1)
-    cfb = pad1(B.cfq[:Lb + 1], lb_max + 1)
-    efb = pad1(B.efq[:Lb + 1], lb_max + 1)
-    wa = np.zeros(an_pad, np.float32)
-    wa[:an] = A.weight if A.weight is not None else np.ones(an)
-    wb = np.zeros(an_pad, np.float32)
-    wb[:bn] = B.weight if B.weight is not None else np.ones(bn)
-    return (S, B0, na_a, gda, pga, na_b, gdb, pgb, cfa, efa, cfb, efb,
-            wa, wb,
-            np.int32(La), np.int32(Lb), np.int32(wdw.lw), np.int32(wdw.up),
+    """Build the _wavefront_from_profiles argument tuple for one pair
+    (channel stacks instead of the full score image: the image matmul
+    runs on device)."""
+    CA, CB, ea0, eb0 = _pack_profiles(A, B, mtx, la_max, lb_max,
+                                      spb=spb, scale=scale)
+    cols = _pack_cols(A, B, an_pad, an_pad, la_max, lb_max)
+    return (CA, CB, ea0, eb0, *cols,
+            np.int32(A.length), np.int32(B.length),
+            np.int32(wdw.lw), np.int32(wdw.up),
             np.float32(u), np.float32(-scale * v))
