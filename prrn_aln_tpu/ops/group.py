@@ -703,6 +703,21 @@ def _traceback_wave(dirs: np.ndarray, opens: np.ndarray, La: int, Lb: int,
     return skl
 
 
+# engine switch for the batch path: None = auto (Pallas kernel on TPU,
+# lax.scan elsewhere); True/False force.  The Pallas kernel
+# (ops/pallas_group.py) computes identical planes; the scan remains the
+# oracle and the mesh-sharded path.
+USE_PALLAS_GROUP = None
+
+
+def _pallas_batch_enabled(mesh) -> bool:
+    if mesh is not None:
+        return False
+    if USE_PALLAS_GROUP is not None:
+        return USE_PALLAS_GROUP
+    return jax.default_backend() == "tpu"
+
+
 @functools.lru_cache(maxsize=64)
 def _batch_fn(nslot, nsteps, an, bn, la_max, lb_max):
     """Cached jit(vmap(wavefront)) per shape bucket: rebuilding the
@@ -747,13 +762,32 @@ def group_align_batch(pairs, mtx, u: float, v: float, sh: int,
         ins.append(_pack_inputs(A, B, mtx, u, v, w, an_pad, la_max, lb_max,
                                 spb=spb, scale=scale))
     ins.extend([ins[0]] * pad_n)
-    batched = [jnp.stack([x[k] for x in ins]) for k in range(len(ins[0]))]
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        shard = NamedSharding(mesh, P(mesh.axis_names[0]))
-        batched = [jax.device_put(x, shard) for x in batched]
-    vm = _batch_fn(nslot, nsteps, an_pad, an_pad, la_max, lb_max)
-    score, dirs, opens = vm(*batched)
+    if _pallas_batch_enabled(mesh):
+        # Pallas wavefront engine (ops/pallas_group.py): identical
+        # planes, VMEM-resident state, no per-step XLA gathers
+        from . import pallas_group as pg
+        wd_all = wdws + [wdws[0]] * pad_n
+        pk = [pg.pack_pair(x[0], x[1], x[2], x[3], x[4:16],
+                           int(x[16]), int(x[17]), w,
+                           float(x[20]), float(x[21]))
+              for x, w in zip(ins, wd_all)]
+        prm = jnp.stack([p for p, _, _ in pk])
+        FA = jnp.stack([f for _, f, _ in pk])
+        FB = jnp.stack([f for _, _, f in pk])
+        Cp = pg._pad_to(ins[0][0].shape[1], 8)
+        score, dirs, opens = pg._launch(
+            prm, FA, FB, an=an_pad, bn=an_pad, Cp=Cp, nslot=nslot,
+            nsteps=nsteps, la_max=la_max, lb_max=lb_max,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        batched = [jnp.stack([x[k] for x in ins])
+                   for k in range(len(ins[0]))]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+            batched = [jax.device_put(x, shard) for x in batched]
+        vm = _batch_fn(nslot, nsteps, an_pad, an_pad, la_max, lb_max)
+        score, dirs, opens = vm(*batched)
     global LAST_BATCH_SHARDING
     LAST_BATCH_SHARDING = getattr(dirs, "sharding", None)
     # device-side traceback: the while_loop walk fetches only the move
