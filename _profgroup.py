@@ -47,12 +47,27 @@ def group_dp_gcups(reps=3):
     ins = [gops._pack_inputs(A, B, mtx, 2.0, 9.0, w, an_pad, la_max, lb_max)
            for (A, B), w in zip(pairs, wdws)]
     import jax.numpy as jnp
-    batched = [jnp.stack([x[k] for x in ins]) for k in range(len(ins[0]))]
-    vm = jax.jit(jax.vmap(lambda *args: gops._wavefront_from_profiles(
-        *args, nslot=nslot, nsteps=nsteps, an=an_pad, bn=an_pad,
-        la_max=la_max, lb_max=lb_max)[0]))
-    np.asarray(vm(*batched))
-    t0 = time.perf_counter(); np.asarray(vm(*batched))
+    if gops._pallas_batch_enabled(None):
+        from prrn_aln_tpu.ops import pallas_group as pg
+        nslot = gops._bucket(nslot, 128)
+        nsteps = gops._bucket(nsteps, pg.DSTEP)
+        pk = [pg.pack_pair(x[0], x[1], x[2], x[3], x[4:16], int(x[16]),
+                           int(x[17]), w, float(x[20]), float(x[21]))
+              for x, w in zip(ins, wdws)]
+        prm = jnp.stack([p for p, _, _ in pk])
+        FA = jnp.stack([f for _, f, _ in pk])
+        FB = jnp.stack([f for _, _, f in pk])
+        kw = dict(an=an_pad, bn=an_pad, Cp=pg._pad_to(ins[0][0].shape[1], 8),
+                  nslot=nslot, nsteps=nsteps, la_max=la_max, lb_max=lb_max)
+        np.asarray(pg._launch(prm, FA, FB, **kw)[0])
+        t0 = time.perf_counter(); np.asarray(pg._launch(prm, FA, FB, **kw)[0])
+    else:
+        batched = [jnp.stack([x[k] for x in ins]) for k in range(len(ins[0]))]
+        vm = jax.jit(jax.vmap(lambda *args: gops._wavefront_from_profiles(
+            *args, nslot=nslot, nsteps=nsteps, an=an_pad, bn=an_pad,
+            la_max=la_max, lb_max=lb_max)[0]))
+        np.asarray(vm(*batched))
+        t0 = time.perf_counter(); np.asarray(vm(*batched))
     dev = time.perf_counter() - t0
     print("group-DP device-only: %.1f ms/batch" % (dev * 1e3), flush=True)
     w = stripe(L, L, sh)

@@ -509,14 +509,29 @@ def group_align(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
     ls3 = ls >= 3
     v2divv1 = (v + (u - u1) * k1) / v if ls3 else 0.0
     u2divu1 = (u1 / u) if ls3 else 0.0
-    score, dirs, opens = _wavefront_from_profiles(
-        CA, CB, ea0, eb0, *cols,
-        np.int32(La), np.int32(Lb), np.int32(lw), np.int32(up),
-        np.float32(u), np.float32(-scale * v),
-        np.float32(v2divv1), np.float32(u2divu1),
-        np.int32(k1 if ls3 else 10 ** 9),
-        nslot=nslot, nsteps=nsteps, an=pa, bn=pb,
-        la_max=la_max, lb_max=lb_max, ls3=ls3)
+    if _pallas_batch_enabled(None):
+        from . import pallas_group as pg
+        nslot_p = _bucket(nslot, 128)
+        nsteps_p = _bucket(nsteps, pg.DSTEP)
+        prm1, FA, FB = pg.pack_pair(
+            CA, CB, ea0, eb0, cols, La, Lb, wdw, u, -scale * v,
+            v2divv1, u2divu1, k1 if ls3 else 10 ** 9)
+        score, dirs, opens = pg._launch(
+            jnp.asarray(prm1)[None], jnp.asarray(FA)[None],
+            jnp.asarray(FB)[None], an=pa, bn=pb,
+            Cp=pg._pad_to(CA.shape[1], 8), nslot=nslot_p,
+            nsteps=nsteps_p, la_max=la_max, lb_max=lb_max, ls3=ls3,
+            interpret=jax.default_backend() != "tpu")
+        score, dirs, opens = score[0], dirs[0], opens[0]
+    else:
+        score, dirs, opens = _wavefront_from_profiles(
+            CA, CB, ea0, eb0, *cols,
+            np.int32(La), np.int32(Lb), np.int32(lw), np.int32(up),
+            np.float32(u), np.float32(-scale * v),
+            np.float32(v2divv1), np.float32(u2divu1),
+            np.int32(k1 if ls3 else 10 ** 9),
+            nslot=nslot, nsteps=nsteps, an=pa, bn=pb,
+            la_max=la_max, lb_max=lb_max, ls3=ls3)
     # walk the traceback on device: fetch O(La+Lb) moves, not the
     # (nsteps, nslot) planes (~0.8 MB/pair over a ~2 MB/s tunnel)
     max_iters = _bucket(2 * (La + Lb) + 4, 512)

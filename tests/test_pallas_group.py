@@ -77,6 +77,25 @@ def test_weighted_narrow_band():
     _check(want, got)
 
 
+def test_single_pair_ls3_matches_scan():
+    """group_align single-pair path incl. the double-affine (ls=3)
+    long-gap lanes (fwd2c.h g2/f2)."""
+    rng = np.random.default_rng(17)
+    from prrn_aln_tpu.ops.window import stripe
+    for ls in (1, 3):
+        A = _rand_msa(rng, 3, 60)
+        B = _rand_msa(rng, 2, 75)
+        wdw = stripe(A.length, B.length, -60)
+        gops.USE_PALLAS_GROUP = False
+        sw, kw = gops.group_align(A, B, MTX, u=2.0, v=9.0, wdw=wdw,
+                                  pads=(4, 96), ls=ls)
+        gops.USE_PALLAS_GROUP = True
+        sg, kg = gops.group_align(A, B, MTX, u=2.0, v=9.0, wdw=wdw,
+                                  pads=(4, 96), ls=ls)
+        assert sg == pytest.approx(sw, rel=1e-5, abs=1e-3)
+        assert kg == kw
+
+
 def test_galign_fixture_pairs():
     def build(fname, weighted):
         info = GFIX["files"][fname]
