@@ -316,6 +316,16 @@ def aln_main(argv=None) -> int:
     # a bare `-L` (reference local mode) must not consume the next
     # positional (argparse nargs="?"): rewrite to the attached form
     argv = ["-Ll" if t == "-L" else t for t in argv]
+    # reference-style glued values for multi-char short options
+    # (argparse only auto-splits single-char ones): -yl2 -> -yl 2
+    split = []
+    for t in argv:
+        if len(t) > 3 and t[:3] in ("-yl", "-yp", "-yJ") and \
+                t[3:].lstrip("-").isdigit():
+            split.extend([t[:3], t[3:]])
+        else:
+            split.append(t)
+    argv = split
     p = argparse.ArgumentParser(
         prog="aln",
         description="TPU-native pairwise / group-to-group alignment")

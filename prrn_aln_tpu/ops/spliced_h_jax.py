@@ -761,7 +761,7 @@ def _sweep_h(M, N, lw, up, a_exg, b_exg, lcl,
               jnp.zeros((MR, 3), I32),
               H0["V"], H0["D"])
     ts = jnp.arange(t_min, t_max + 1, dtype=I32)
-    carry_f, (evw, jdw) = jax.lax.scan(wave_step, carry0, ts)
+    carry_f, (evw, jdw) = jax.lax.scan(wave_step, carry0, ts, unroll=8)
     return carry_f[-2], carry_f[-1], evw, jdw
 
 
