@@ -922,6 +922,8 @@ def forward_h_device(qprof, b, exin, ipen, prm, lw, up,
               % (evs.nbytes / 1e6, _time.time() - _t0), flush=True)
         _t0 = _time.time()
 
+    if _dbg:
+        _t0 = _time.time()
     # ---------------- lastH on host (fwd2h.h:203-268) -------------------
     def sigT_at(nn):
         if exin.sigT is not None and 0 <= nn < N:
@@ -1003,9 +1005,14 @@ def forward_h_device(qprof, b, exin, ipen, prm, lw, up,
     ex = extra.get(best_r)
     if ex is not None:
         knots.append(ex)
+    if _dbg:
+        print("  lastH host: %.2fs" % (_time.time() - _t0), flush=True)
+        _t0 = _time.time()
     om, on = orig.get(best_r, (M, m3 + best_r))
     back = _walk_h(evs, jdons, t_min, om, on, M, N, lw, up, init0_k,
                    initc, a_exgl, b_exgl, idx)
+    if _dbg:
+        print("  walk host: %.2fs" % (_time.time() - _t0), flush=True)
     knots.extend(back)
     knots.reverse()
     return float(best_val), knots

@@ -104,28 +104,30 @@ def build_exin(codes: np.ndarray, ff: float = 1.0, y: float = 8.0,
     cp = _codepot()
 
     # rolling 6-mers over central-nucleotide reduced codes, reset on
-    # ambiguity (tnredctab semantics: tron AMB/UNP/NIL also reset)
+    # ambiguity (tnredctab semantics: tron AMB/UNP/NIL also reset).
+    # Vectorized: the window value is a sliding base-4 dot product and
+    # the ambiguity reset is a modulus by 4^run_length (garbage digits
+    # are always higher-order than the run).
     red = tron._RED[b].astype(np.int64)
-    six = np.zeros(L, np.int64)
-    valid = np.zeros(L, np.int64)
-    d = x = 0
-    for i in range(L):
-        c = int(red[i])
-        if c < 4:
-            d = (4 * d + c) % 4096
-            x += 1
-        else:
-            d = x = 0
-        six[i] = d
-        valid[i] = x
+    inval = red >= 4
+    w = np.where(inval, 0, red)
+    idx = np.arange(L, dtype=np.int64)
+    last_inv = np.maximum.accumulate(np.where(inval, idx, -1))
+    valid = idx - last_inv
+    full = np.zeros(L, np.int64)
+    for k in range(6):                     # 6 shifted adds, not L steps
+        full[k:] += w[:L - k] << (2 * k)
+    six = full % (1 << (2 * np.minimum(valid, 6)))
 
     fE = z * ff
     fO = -o * ff
     sigE = np.zeros(L)
-    for p in range(L):
-        if p + 5 < L and valid[p + 5] >= 6:
-            sigE[p] = fE * (cp[2][six[p + 3]] + cp[0][six[p + 4]]
-                            + cp[1][six[p + 5]])
+    if L > 5:
+        p = np.arange(L - 5)
+        ok = valid[p + 5] >= 6
+        sigE[:L - 5] = np.where(
+            ok, fE * (cp[2][six[p + 3]] + cp[0][six[p + 4]]
+                      + cp[1][six[p + 5]]), 0.0)
     is_stop = (trn == tron.TRM) | (trn == tron.TRM2)
     nxt = np.zeros(L, bool)
     nxt[:L - 3] = is_stop[3:]

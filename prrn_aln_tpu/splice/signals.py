@@ -52,53 +52,52 @@ _RED = _reduced_table()
 
 def pwm_fit(red: np.ndarray, mtx: np.ndarray, offset: int) -> np.ndarray:
     """calcPatMat (Mrkv=2, single sequence): fit[p] scores the window
-    starting at sequence position p - offset; p in 0..len-1."""
+    starting at sequence position p - offset; p in 0..len-1.
+
+    Vectorized: the reference's q counter ends up nonzero exactly when
+    the window overruns the right end or contains any ambiguous base
+    (overlapping triples cover the whole window), and then the fit is
+    minval regardless of the accumulated terms — so the sum can be
+    taken ungated and overridden, with a next-bad-index array deciding
+    the override."""
     L = len(red)
     cols = mtx.shape[0]
     minval = cols * float(mtx.min())
 
     bad = red >= _BAD
     r0 = np.where(bad, 0, red).astype(np.int64)
-    out = np.empty(L, np.float64)
-    for p in range(L):
-        n = p - offset
-        q = 1 if n + cols >= L else 0       # right-end overrun
-        fit = 0.0
-        row = -n if n < 0 else 0            # feature rows skip overhang
-        s = max(n, 0)
-        stop = min(n + cols, L - 2)         # triples must lie inside
-        first = True
-        while s < stop and row < cols:
-            b0 = int(r0[s])
-            if first:
-                if bad[s]:
-                    q += 1
-                else:
-                    fit += mtx[row, b0]
-                    if bad[s + 1]:
-                        q += 1
-                    else:
-                        fit += mtx[row, 4 * b0 + int(r0[s + 1]) + 4]
-                first = False
-                if bad[s] or bad[s + 1] or bad[s + 2]:
-                    pass
-                else:
-                    fit += mtx[row, 16 * b0 + 4 * int(r0[s + 1])
-                               + int(r0[s + 2]) + 20]
-                if bad[s + 2]:
-                    q += 1
-            else:
-                if bad[s] or bad[s + 1] or bad[s + 2]:
-                    q += 1
-                else:
-                    fit += mtx[row, 16 * b0 + 4 * int(r0[s + 1])
-                               + int(r0[s + 2]) + 20]
-            s += 1
-            row += 1
-        if q:
-            fit = minval
-        out[p] = fit
+    FB = np.full(L + 1, L, np.int64)
+    if L:
+        tmp = np.where(bad, np.arange(L, dtype=np.int64), L)
+        FB[:L] = np.minimum.accumulate(tmp[::-1])[::-1]
+    k2 = np.zeros(L, np.int64)
+    k3 = np.zeros(L, np.int64)
+    if L > 1:
+        k2[:L - 1] = 4 * r0[:L - 1] + r0[1:] + 4
+    if L > 2:
+        k3[:L - 2] = 16 * r0[:L - 2] + 4 * r0[1:L - 1] + r0[2:] + 20
+
+    p = np.arange(L, dtype=np.int64)
+    n = p - offset
+    s0 = np.maximum(n, 0)
+    stop = np.minimum(n + cols, L - 2)
+    overrun = n + cols >= L
+    run = s0 < stop
+    anybad = FB[np.clip(s0, 0, L)] <= np.minimum(stop + 1, L - 1)
+    q = overrun | (run & anybad)
+
+    out = np.zeros(L, np.float64)
+    row0 = s0 - n
+    f0 = run & (row0 < cols)
+    out[f0] = (mtx[row0[f0], r0[s0[f0]]]
+               + mtx[row0[f0], k2[s0[f0]]])
+    for row in range(cols):
+        s = n + row
+        ok = run & (s >= s0) & (s < stop)
+        out[ok] += mtx[row, k3[s[ok]]]
+    out[q] = minval
     return out
+
 
 
 # canonicity levels per dinucleotide, algmode.any == 0, forward strand
@@ -189,32 +188,36 @@ def pwm_fit_mrkv1(red: np.ndarray, mtx: np.ndarray,
                   offset: int) -> np.ndarray:
     """calcPatMat (Mrkv=1, single sequence; utilseq.cc:899-925): first-
     order nucleotide Markov PWM (rows = 4 + 16 features per position);
-    fit[p] scores the window starting at p - offset."""
+    fit[p] scores the window starting at p - offset.
+
+    Vectorized over positions: contributions stop at the first
+    ambiguous base in the window (the reference's q counter), so each
+    term is gated by "no bad base in [window start, s+1]" — a
+    next-bad-index array turns the whole fit into `cols` masked
+    vector adds."""
     L = len(red)
     cols = mtx.shape[0]
     bad = red >= _BAD
     r0 = np.where(bad, 0, red).astype(np.int64)
-    out = np.empty(L, np.float64)
-    for p in range(L):
-        n = p - offset
-        q = 1 if n + cols >= L else 0
-        fit = 0.0
-        m = -n if n < 0 else 0
-        s = max(n, 0)
-        stop = min(n + cols, L - 1)
-        while s < stop and m < cols:
-            k = int(r0[s])
-            if bad[s]:
-                q += 1
-            if not q:
-                if m == 0:
-                    fit += mtx[m, k]
-                if bad[s + 1]:
-                    q += 1
-                k = 4 * k + int(r0[s + 1]) + 4
-            if not q:
-                fit += mtx[m, k]
-            m += 1
-            s += 1
-        out[p] = fit
+    FB = np.full(L + 1, L, np.int64)
+    if L:
+        tmp = np.where(bad, np.arange(L, dtype=np.int64), L)
+        FB[:L] = np.minimum.accumulate(tmp[::-1])[::-1]
+    k2 = np.empty(L, np.int64)
+    k2[:L - 1] = 4 * r0[:L - 1] + r0[1:] + 4
+    k2[L - 1] = 4 * r0[L - 1] + 4
+
+    p = np.arange(L, dtype=np.int64)
+    n = p - offset
+    s0 = np.maximum(n, 0)
+    open_w = n + cols < L                  # q starts at 0
+    stop = np.minimum(n + cols, L - 1)
+    fb0 = FB[np.clip(s0, 0, L)]
+    out = np.zeros(L, np.float64)
+    m0ok = open_w & (n >= 0) & (n < stop) & (fb0 > n)
+    out[m0ok] = mtx[0, r0[n[m0ok]]]
+    for m in range(cols):
+        s = n + m
+        ok = open_w & (s >= s0) & (s < stop) & (fb0 > s + 1)
+        out[ok] += mtx[m, k2[s[ok]]]
     return out
