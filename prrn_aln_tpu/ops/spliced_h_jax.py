@@ -408,7 +408,7 @@ def _sweep_h(M, N, lw, up, a_exg, b_exg, lcl,
 
     def wave_step(carry, t):
         (Hh, Neh, Gh, SJh,
-         clV, clJ, clD, clCS, nxs, ncands, bandV, bandD) = carry
+         clV, clJ, clD, clCS, nxs, ncands) = carry
         n = t - 3 * mvec
         valid = (mvec >= 1) & (n >= n_first) & (n <= n_last)
         internal = internal_v
@@ -738,13 +738,9 @@ def _sweep_h(M, N, lw, up, a_exg, b_exg, lcl,
         Gh2 = (newG,) + Gh[:2]
         SJh2 = (newSJ,) + SJh[:5]
 
-        svec = jnp.where(valid, n - 3 * mvec - lw + 3, I32(W + 600))
-        bandV = bandV.at[svec].set(cVx, mode='drop')
-        bandD = bandD.at[svec].set(cDx, mode='drop')
-
         carry2 = (Hh2, Neh2, Gh2, SJh2, clV, clJ, clD, clCS, nxs,
-                  ncands, bandV, bandD)
-        return carry2, (ev, jdon.T)
+                  ncands)
+        return carry2, (ev, jdon.T, cVx, cDx)
 
 
     Hrec0 = (nevv, zi, zi, zi, zi)
@@ -758,11 +754,26 @@ def _sweep_h(M, N, lw, up, a_exg, b_exg, lcl,
               jnp.zeros((MR, 3, NCAND_H + 1), I32),
               jnp.zeros((MR, 3, NCAND_H + 1), I32),
               jnp.tile(jnp.arange(NCAND_H + 1, dtype=I32), (MR, 3, 1)),
-              jnp.zeros((MR, 3), I32),
-              H0["V"], H0["D"])
+              jnp.zeros((MR, 3), I32))
     ts = jnp.arange(t_min, t_max + 1, dtype=I32)
-    carry_f, (evw, jdw) = jax.lax.scan(wave_step, carry0, ts, unroll=8)
-    return carry_f[-2], carry_f[-1], evw, jdw
+    carry_f, (evw, jdw, Vw, Dw) = jax.lax.scan(wave_step, carry0, ts,
+                                               unroll=8)
+
+    # final band arrays reconstructed from the per-wave cell planes
+    # (replaces a per-step 36k-wide scatter, which XLA serializes):
+    # slot r's final record was written at its last live row
+    # m_last(r) = min(M, (N - r) // 3), i.e. wave t = 6*m_last + r.
+    r_sl = jnp.arange(-3, W + 3, dtype=I32) + lw      # band layout idx()
+    m_last = jnp.minimum(M, jnp.where(N >= r_sl, (N - r_sl) // 3,
+                                      -1)).astype(I32)
+    m_first = jnp.maximum(1, jnp.where(r_sl >= 1, 1,
+                                       (1 - r_sl + 2) // 3))
+    touched = (m_last >= m_first) & (r_sl >= lw) & (r_sl <= up)
+    tw = jnp.clip(6 * m_last + r_sl - t_min, 0, Vw.shape[0] - 1)
+    mc_ = jnp.clip(m_last, 0, MR - 1)
+    bandV = jnp.where(touched, Vw[tw, mc_], H0["V"].astype(F32))
+    bandD = jnp.where(touched, Dw[tw, mc_], H0["D"].astype(I32))
+    return bandV, bandD, evw, jdw
 
 
 def forward_h_device(qprof, b, exin, ipen, prm, lw, up,
