@@ -150,13 +150,108 @@ def _pamcorrect(x: float) -> float:
     return min(pam, 300.0)
 
 
+def _word_lists(seq_codes, molc: int, k=None, seeds=None, nalpha: int = 0):
+    """Per-sequence spaced-seed word lists (same window/validity rules
+    as native.kmer_count / bitpat.h WordTab) + the alphabet size."""
+    if k is None:
+        k = PROT_K if molc == ab.PROTEIN else DNA_K
+    if seeds is None:
+        seeds = PROT_SEEDS if molc == ab.PROTEIN else DNA_SEEDS
+        if not seeds:
+            seeds = ("1" * k,)
+    tab, na = reduced_table(molc, nalpha)
+    per_seed = []
+    for seed in seeds:
+        pos = [j for j, ch in enumerate(seed) if ch == "1"]
+        width = len(seed)
+        rows = []
+        for codes in seq_codes:
+            red = tab[np.clip(codes, 0, 31)].astype(np.int64)
+            nwin = len(red) - width + 1
+            if nwin <= 0:
+                rows.append(np.empty(0, np.int64))
+                continue
+            w = np.zeros(nwin, np.int64)
+            ok = np.ones(nwin, bool)
+            for j in pos:
+                c = red[j:j + nwin]
+                ok &= c >= 0
+                w = w * na + np.where(c < 0, 0, c)
+            rows.append(w[ok])
+        V = int(na) ** len(pos)
+        per_seed.append((rows, V))
+    return per_seed
+
+
+def _device_overlap(per_seed, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All-pairs min-overlap matrix on the MXU.
+
+    min(a, b) = sum_t [a>=t][b>=t], so the pair overlap matrix is a sum
+    of 0/1 indicator Gram matmuls — exact in bf16 x bf16 -> f32
+    (products are 0/1, sums < 2^24).  Replaces the O(N^2) host loop
+    (the sl-forest edge pass, reference role src/blksrc.cc:3260)."""
+    import jax
+    import jax.numpy as jnp
+    O = np.zeros((n, n), np.float64)
+    totals = np.zeros(n, np.int64)
+    for rows, V in per_seed:
+        lens = np.array([len(r) for r in rows])
+        totals += lens
+        Lp = max(1, int(lens.max()))
+        W = np.full((n, Lp), V, np.int64)       # V = out-of-range pad
+        for i, r in enumerate(rows):
+            W[i, :len(r)] = r
+        tmax = 1
+        for r in rows:
+            if len(r):
+                tmax = max(tmax, int(np.unique(r,
+                                               return_counts=True)[1]
+                                     .max()))
+        Wd = jnp.asarray(W, jnp.int32)
+        C = jnp.zeros((n, V), jnp.int32).at[
+            jnp.arange(n)[:, None], Wd].add(1, mode="drop")
+        acc = jnp.zeros((n, n), jnp.float32)
+        for t in range(1, tmax + 1):
+            Bt = (C >= t).astype(jnp.bfloat16)
+            acc = acc + jnp.matmul(Bt, Bt.T,
+                                   preferred_element_type=jnp.float32)
+        O += np.asarray(acc, np.float64)
+    return O, totals
+
+
 def kmer_distance_matrix(seq_codes: list[np.ndarray], molc: int,
                          **kw) -> np.ndarray:
-    """Condensed all-pairs qdiv distances (x100 like the DP distances)."""
+    """Condensed all-pairs qdiv distances (x100 like the DP distances).
+
+    Large inputs run the overlap pass as indicator matmuls on device
+    (O(N^2 V) MXU work instead of an O(N^2) host loop); small inputs
+    keep the native host path (no compile/dispatch overhead)."""
+    n = len(seq_codes)
+    if n >= 48:
+        per_seed = _word_lists(seq_codes, molc, **kw)
+        O, totals = _device_overlap(per_seed, n)
+        iu, ju = np.triu_indices(n, 1)
+        Ta = totals[iu].astype(np.float64)
+        Tb = totals[ju].astype(np.float64)
+        denom = np.minimum(Ta, Tb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f = np.where(denom > 0, O[iu, ju] / denom, 0.0)
+        p0, p1 = _QDIV_PARAM[3]
+        f2 = p0 * np.log((p1 + f) / (p1 + 1.0)) + 1.0
+        d2 = 1.0 - f2
+        if molc == ab.PROTEIN:
+            d = np.maximum(d2, 0.0)
+        else:
+            x = 1.0 - 20.0 / 19.0 * np.clip(d2, 0.0, None)
+            d = np.where(d2 <= 0.0, 0.0,
+                         np.where(x <= 0.0, 1024.0,
+                                  -19.0 / 20.0 * np.log(
+                                      np.where(x > 0, x, 1.0))))
+        out = np.zeros(n * (n - 1) // 2)
+        out[ju * (ju - 1) // 2 + iu] = 100.0 * d
+        return out
     kcs = [count_kmers(s, molc, **kw) for s in seq_codes]
-    n = len(kcs)
     out = np.zeros(n * (n - 1) // 2)
-    k = 0
     for j in range(1, n):
         for i in range(j):
             out[j * (j - 1) // 2 + i] = 100.0 * qdiv(kcs[i], kcs[j], molc)
