@@ -34,7 +34,63 @@ def band_cells(la: int, lb: int, lw: int, up: int) -> int:
     return int(((r >= lw) & (r <= up)).sum())
 
 
+def scaling_main():
+    """Scaling-efficiency harness (BASELINE.md >=80% target): runs the
+    collective all-pairs distance pass over mesh sizes 1..ndev and
+    reports T1 / (k * Tk).  On the single-chip axon setup this
+    instruments the harness with ndev=1; run under
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+    to exercise the virtual 8-device mesh (numbers there measure
+    sharding overhead, not real ICI scaling)."""
+    import os
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # the axon plugin ignores JAX_PLATFORMS; force like tests do
+        if "--xla_force_host_platform_device_count" not in \
+                os.environ.get("XLA_FLAGS", ""):
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=8")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    from jax.sharding import Mesh
+    from prrn_aln_tpu import scoring
+    from prrn_aln_tpu.config import AlnParams
+    from prrn_aln_tpu.msa import distance
+
+    rng = np.random.default_rng(11)
+    seqs = [rng.integers(3, 23, size=160).astype(np.int32)
+            for _ in range(40)]
+    mtx, _ = scoring.protein_matrix(AlnParams(pam=150))
+    devs = jax.devices()
+    sizes = [k for k in (1, 2, 4, 8) if k <= len(devs)]
+    times = {}
+    backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+    for k in sizes:
+        mesh = Mesh(np.array(devs[:k]), axis_names=("pairs",))
+        distance.all_pairs_scores(seqs, mtx, 2.0, 9.0, -60, mesh=mesh,
+                                  backend=backend)          # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            distance.all_pairs_scores(seqs, mtx, 2.0, 9.0, -60,
+                                      mesh=mesh, backend=backend)
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+    kmax = sizes[-1]
+    eff = times[sizes[0]] / (kmax * times[kmax]) if kmax > 1 else 1.0
+    print(json.dumps({
+        "metric": "distance_scaling_efficiency",
+        "value": round(eff, 4), "unit": f"T1/({kmax}*T{kmax})",
+        "vs_baseline": round(eff / 0.8, 4),
+        "times_s": {str(k): round(v, 4) for k, v in times.items()},
+    }))
+
+
 def main():
+    if "--scaling" in sys.argv:
+        scaling_main()
+        return
     if "--group" in sys.argv or "--spliced" in sys.argv:
         # secondary engine metrics (kept off the default driver run to
         # hold its runtime; see PERF.md "Current state" for recorded

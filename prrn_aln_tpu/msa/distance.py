@@ -106,27 +106,61 @@ def all_pairs_scores(seqs: list[np.ndarray], mtx: np.ndarray,
 
 def _sharded_pallas_scores(mesh, a_batch, b_batch, la, lb, lw, up,
                            mtx, u, v):
-    """Run the Pallas banded kernel on every mesh device at once: the
-    pair batch is split into per-device chunks, each chunk's arrays are
-    committed to its device, and the (async) launches overlap.  Keeps
-    multi-chip on the fast engine instead of regressing to the lax.scan
-    path (SURVEY 5.8; round-2 weak #4)."""
-    from ..ops.pallas_pairwise import pallas_pairwise_scores
+    """Collective multi-chip distance pass on the Pallas engine: the
+    pair batch is shard_map-partitioned over the mesh's first axis,
+    every device runs its shard of the banded kernel, and ONE
+    `all_gather` over ICI merges the score vector (SURVEY 5.8 —
+    replacing both the reference's ThQueue master/worker merge,
+    calcserv.h:460-499, and round-3's host-side per-device concat
+    loop)."""
+    from jax.sharding import PartitionSpec as P
+    from ..ops import pallas_pairwise as pp
 
-    devs = list(mesh.devices.flat)
+    axis = mesh.axis_names[0]
+    ndev = int(mesh.devices.size)
     B = a_batch.shape[0]
-    nchunk = max(1, min(len(devs), B))
-    bounds = np.linspace(0, B, nchunk + 1).astype(int)
-    outs = []
-    for k in range(nchunk):
-        s, e = bounds[k], bounds[k + 1]
-        if s == e:
-            continue
-        with jax.default_device(devs[k]):
-            outs.append(pallas_pairwise_scores(
-                a_batch[s:e], b_batch[s:e], la[s:e], lb[s:e], mtx,
-                u, v, lw=lw[s:e], up=up[s:e]))
-    return np.concatenate([np.asarray(o) for o in outs])
+    grp = pp._group_for(max(B // ndev, 1))
+    chunk = ndev * grp                     # whole pair-groups per shard
+    pad = (-B) % chunk
+    if pad:
+        a_batch = np.pad(a_batch, ((0, pad), (0, 0)))
+        b_batch = np.pad(b_batch, ((0, pad), (0, 0)))
+        la = np.pad(la, (0, pad), constant_values=1)
+        lb = np.pad(lb, (0, pad), constant_values=1)
+        lw = np.pad(lw, (0, pad), constant_values=-1)
+        up = np.pad(up, (0, pad), constant_values=1)
+    Bp = B + pad
+    Ma = a_batch.shape[1]
+    La_p = pp._pad_to(max(Ma, 8),
+                      min(128, 1 << int(max(Ma, 8) - 1).bit_length()))
+    La_p = max(8, La_p)
+    lw0 = int(lw.min())
+    Wp = pp._pad_to(int(up.max()) - lw0 + 1, 128)
+    planes = np.zeros((Bp, pp.NPLANE), np.float32)
+    planes[:, 0] = la
+    planes[:, 1] = lb
+    planes[:, 2] = u
+    planes[:, 3] = v
+    planes[:, 4:8] = 1.0
+    planes[:, 8] = lw
+    planes[:, 9] = up
+    prm = np.broadcast_to(
+        planes.reshape(Bp // grp, grp, pp.NPLANE, 1).transpose(0, 2, 1, 3),
+        (Bp // grp, pp.NPLANE, grp, 128)).copy()
+    interp = jax.default_backend() != "tpu"
+
+    def fn(a, b, pr, mx):
+        out = pp._prepare_and_launch(a, b, pr, mx, La_p=La_p, Wp=Wp,
+                                     dim=mx.shape[0], lw0=lw0,
+                                     interpret=interp)
+        return jax.lax.all_gather(out[:, :, 0], axis, axis=0,
+                                  tiled=True)
+
+    sm = jax.jit(jax.shard_map(fn, mesh=mesh,
+                               in_specs=(P(axis), P(axis), P(axis), P()),
+                               out_specs=P(), check_vma=False))
+    out = sm(a_batch, b_batch, prm, mtx.astype(np.float32))
+    return np.asarray(out).reshape(-1)[:B]
 
 
 def _sharded_scores(mesh, a_batch, b_batch, la, lb, lw, up, mtx,
