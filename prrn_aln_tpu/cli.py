@@ -920,5 +920,69 @@ def utp_main(argv=None) -> int:
     return 0
 
 
+def refgs_main(argv=None) -> int:
+    """Concerted gene-structure refinement (reference perl/refgs.pl):
+    re-predict each member's structure against the profile of the
+    others, rebuild the MSA, iterate."""
+    if argv is None:
+        argv = sys.argv[1:]
+    p = argparse.ArgumentParser(
+        prog="refgs",
+        description="iterative gene-structure refinement "
+                    "(refgs.pl L6 pipeline)")
+    p.add_argument("msa", help="gene-structure-annotated multi-FASTA / "
+                               "MSA of the family")
+    p.add_argument("-n", dest="genome", required=True,
+                   help="genomic sequence file (members are windowed "
+                        "by their ;C coordinates when they fit)")
+    p.add_argument("-I", type=int, default=1, help="max iterations")
+    p.add_argument("-m", action="append", default=None,
+                   help="restrict refinement to these members "
+                        "(repeatable; default all)")
+    p.add_argument("-T", dest="species", default=None,
+                   help="species parameter/table directory")
+    p.add_argument("-yJ", type=float, default=None,
+                   help="intron-position match bonus")
+    p.add_argument("-t", dest="out", default=None,
+                   help="write the refined extended FASTA here "
+                        "(default stdout)")
+    p.add_argument("-pq", action="store_true", help="quiet")
+    args = p.parse_args(argv)
+
+    from .refgs import refgs_family
+    recs = io.sniff_and_read(args.msa)
+    grec = io.sniff_and_read(args.genome)[0]
+    genome = grec.seq.upper().replace("-", "")
+    allow = set(args.m) if args.m else None
+
+    def genome_of(name):
+        if allow is not None and name not in allow:
+            return None
+        return genome, 0
+
+    res = refgs_family(recs, genome_of, iters=args.I,
+                       species=args.species, yj=args.yJ,
+                       quiet=args.pq)
+    lines = []
+    for r in res.records:
+        lines.append(f">{r.name}")
+        if r.exons:
+            parts = ",".join(f"{a}..{b}" for a, b in r.exons)
+            lines.append(f";C join({parts})")
+        s = r.seq.replace("-", "")
+        lines.extend(s[i:i + 60] for i in range(0, len(s), 60))
+    text = "\n".join(lines) + "\n"
+    if args.out:
+        from pathlib import Path
+        Path(args.out).write_text(text)
+    else:
+        sys.stdout.write(text)
+    for name, st_ in res.status.items():
+        print(f"{name}\t{st_}", file=sys.stderr)
+    if res.outliers:
+        print("outliers: " + " ".join(res.outliers), file=sys.stderr)
+    return 0
+
+
 if __name__ == "__main__":
     sys.exit(prrn_main())
