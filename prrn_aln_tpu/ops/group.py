@@ -516,7 +516,7 @@ def group_align(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
         prm1, FA, FB = pg.pack_pair(
             CA, CB, ea0, eb0, cols, La, Lb, wdw, u, -scale * v,
             v2divv1, u2divu1, k1 if ls3 else 10 ** 9)
-        score, dirs, opens = pg._launch(
+        score, dirs, opens, _, _ = pg._launch(
             jnp.asarray(prm1)[None], jnp.asarray(FA)[None],
             jnp.asarray(FB)[None], an=pa, bn=pb,
             Cp=pg._pad_to(CA.shape[1], 8), nslot=nslot_p,
@@ -630,6 +630,145 @@ def _moves_to_skl(moves, La: int, Lb: int):
         prev = mv
     skl.append((La, Lb))
     return skl
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def _traceback_device_range(dirs, opens, m0, n0, lane0, d_lo, lw,
+                            *, max_iters):
+    """Chunk-limited traceback walk: like ``_traceback_device`` but
+    starts from an arbitrary (m, n, lane) and stops once the walk
+    leaves the step range [d_lo, d_lo + nsteps) — the backward pass of
+    the linear-space (checkpoint/recompute) aligner.  Returns
+    (m, n, lane, moves, count)."""
+    nsteps = dirs.shape[0]
+    i8 = jnp.int8
+
+    def cond(st):
+        m, n, lane, cnt, it, moves = st
+        return (((m > 0) | (n > 0))
+                & (m + n >= jnp.maximum(d_lo, 1))
+                & (it < 3 * max_iters))
+
+    def body(st):
+        m, n, lane, cnt, it, moves = st
+        d = m + n
+        slot = -(lw - 1) + (n - m)
+        ok = (d > 0) & (d - d_lo >= 0) & (d - d_lo < nsteps)
+        dc = jnp.clip(d - d_lo, 0, nsteps - 1)
+        src = jnp.where(ok, dirs[dc, slot], -1).astype(jnp.int32)
+        op = jnp.where(ok, opens[dc, slot], 0).astype(jnp.int32)
+
+        is_h = lane == 0
+        is_g = (lane == 1) | (lane == 2)
+        h_diag = is_h & (src == DIAG)
+        h_lane = jnp.where(src == VERT, 1,
+                  jnp.where(src == VERT2, 2,
+                   jnp.where(src == HORI2, 4, 3)))
+        g_open = jnp.where(lane == 1, op & 1, op & 4) != 0
+        f_open = jnp.where(lane == 3, op & 2, op & 8) != 0
+
+        emit = jnp.where(is_h, jnp.where(h_diag, DIAG, -1),
+                 jnp.where(is_g, VERT, HORI)).astype(jnp.int32)
+        new_m = jnp.where(h_diag | is_g, m - 1, m)
+        new_n = jnp.where(h_diag | (~is_h & ~is_g), n - 1, n)
+        new_lane = jnp.where(is_h,
+                     jnp.where(h_diag, 0, h_lane),
+                     jnp.where(is_g,
+                       jnp.where(g_open | (new_n == 0), 0, lane),
+                       jnp.where(f_open | (new_m == 0), 0, lane)))
+        moves = jax.lax.dynamic_update_index_in_dim(
+            moves, emit.astype(i8), jnp.clip(cnt, 0, max_iters - 1), 0)
+        cnt = cnt + jnp.where(emit >= 0, 1, 0)
+        return new_m, new_n, new_lane, cnt, it + 1, moves
+
+    st = (m0.astype(jnp.int32), n0.astype(jnp.int32),
+          lane0.astype(jnp.int32), jnp.int32(0), jnp.int32(0),
+          jnp.full((max_iters,), -1, i8))
+    m, n, lane, cnt, it, moves = jax.lax.while_loop(cond, body, st)
+    return m, n, lane, moves, jnp.minimum(cnt, max_iters)
+
+
+def group_align_linear(A: Msa, B: Msa, mtx, u: float, v: float,
+                       wdw: Window | None = None, scale: float = 1.0,
+                       spb: float = 0.0, ls: int = 1, u1: float = 0.6,
+                       k1: int = 7, chunk: int = 2048):
+    """Linear-space group/pairwise alignment: blockwise checkpoint +
+    recompute traceback (the TPU replacement for the reference's
+    Hirschberg recursion, src/fwd2b1.cc:492,1053-1078, and the Vmf
+    traceback arena, src/vmf.h:36-57).
+
+    The wavefront runs in step chunks on the Pallas kernel; the forward
+    pass stores only the O(nslot) carry at each chunk boundary, and the
+    backward pass recomputes one chunk's direction planes at a time and
+    walks them on device.  Peak traceback memory is
+    O(chunk x nslot + nsteps/chunk x nslot) instead of
+    O(nsteps x nslot) — genomic-length pairs align in bounded memory.
+    Returns (score, skl), identical to ``group_align``.
+    """
+    from . import pallas_group as pg
+
+    La, Lb = A.length, B.length
+    an, bn = A.many, B.many
+    if wdw is None:
+        wdw = stripe(La, Lb, -60)
+    la_max, lb_max = _bucket(La), _bucket(Lb)
+    nslot = _bucket(wdw.up - wdw.lw + 3, 128)
+    nsteps_total = _bucket(La + Lb + 1, pg.DSTEP)
+    chunk = max(pg.DSTEP, min(_bucket(chunk, pg.DSTEP), nsteps_total))
+    nchunks = -(-nsteps_total // chunk)
+
+    CA, CB, ea0, eb0 = _pack_profiles(A, B, mtx, la_max, lb_max,
+                                      spb=spb, scale=scale)
+    cols = _pack_cols(A, B, an, bn, la_max, lb_max)
+    ls3 = ls >= 3
+    v2divv1 = (v + (u - u1) * k1) / v if ls3 else 0.0
+    u2divu1 = (u1 / u) if ls3 else 0.0
+    prm1, FA, FB = pg.pack_pair(CA, CB, ea0, eb0, cols, La, Lb, wdw,
+                                u, -scale * v, v2divv1, u2divu1,
+                                k1 if ls3 else 10 ** 9)
+    FA = jnp.asarray(FA)[None]
+    FB = jnp.asarray(FB)[None]
+    kw = dict(an=an, bn=bn, Cp=pg._pad_to(CA.shape[1], 8), nslot=nslot,
+              nsteps=chunk, la_max=la_max, lb_max=lb_max, ls3=ls3,
+              interpret=jax.default_backend() != "tpu")
+
+    st_, gl_ = pg.init_state(wdw.lw, nslot, an)
+    st = jnp.asarray(st_)[None]
+    gl = jnp.asarray(gl_)[None]
+    ckpts = []
+    score = None
+    for c in range(nchunks):
+        ckpts.append((st, gl))
+        prm_c = np.array(prm1)
+        prm_c[9] = c * chunk
+        score, _, _, st, gl = pg._launch(jnp.asarray(prm_c)[None],
+                                         FA, FB, st, gl, **kw)
+    final_score = float(np.asarray(score)[0])
+
+    m = jnp.int32(La)
+    n = jnp.int32(Lb)
+    lane = jnp.int32(0)
+    max_iters = 2 * chunk + 8
+    pieces = []
+    for c in reversed(range(nchunks)):
+        d_lo = c * chunk
+        mi, ni = int(np.asarray(m)), int(np.asarray(n))
+        if mi == 0 and ni == 0:
+            break
+        if d_lo > mi + ni:
+            continue
+        st0, gl0 = ckpts[c]
+        prm_c = np.array(prm1)
+        prm_c[9] = d_lo
+        _, dirs, opens, _, _ = pg._launch(jnp.asarray(prm_c)[None],
+                                          FA, FB, st0, gl0, **kw)
+        m, n, lane, moves, cnt = _traceback_device_range(
+            dirs[0], opens[0], m, n, lane, jnp.int32(d_lo),
+            jnp.int32(wdw.lw), max_iters=max_iters)
+        pieces.append(np.asarray(moves)[:int(np.asarray(cnt))])
+    moves = np.concatenate(pieces)[::-1] if pieces else np.empty(0)
+    skl = _moves_to_skl(moves, La, Lb)
+    return final_score, skl
 
 
 @functools.lru_cache(maxsize=64)
@@ -790,7 +929,7 @@ def group_align_batch(pairs, mtx, u: float, v: float, sh: int,
         FA = jnp.stack([f for _, f, _ in pk])
         FB = jnp.stack([f for _, _, f in pk])
         Cp = pg._pad_to(ins[0][0].shape[1], 8)
-        score, dirs, opens = pg._launch(
+        score, dirs, opens, _, _ = pg._launch(
             prm, FA, FB, an=an_pad, bn=an_pad, Cp=Cp, nslot=nslot,
             nsteps=nsteps, la_max=la_max, lb_max=lb_max,
             interpret=jax.default_backend() != "tpu")

@@ -99,7 +99,8 @@ def build_stack(cols_na, cols_gd, cols_pg, w, Csh, cf, ef, e0sh,
     return out
 
 
-def _kernel(prm_ref, fa_ref, fb_ref, score_ref, dirs_ref, opens_ref,
+def _kernel(prm_ref, fa_ref, fb_ref, st0_ref, gl0_ref,
+            score_ref, dirs_ref, opens_ref, stf_ref, glf_ref,
             st_ref, gl_ref,
             *, an, bn, Cp, nslot, nsteps, XA, XB, nD, ls3):
     """Grid step (pair b, step-block dblk): DSTEP wavefront steps.
@@ -131,16 +132,13 @@ def _kernel(prm_ref, fa_ref, fb_ref, score_ref, dirs_ref, opens_ref,
     r_f = r_all.astype(jnp.float32)
     j_last = nslot - 1
 
+    d0 = prm_ref[0, 0, 9].astype(jnp.int32)   # step offset (chunked
+    # linear-space runs resume from a checkpointed carry)
+
     @pl.when(dblk == 0)
     def _init():
-        corner = r_all == 0                        # (1, nslot)
-        hrow = jnp.where(corner, 0.0, NEVSEL)
-        dirrow = jnp.where(corner, float(D_DIAG), 0.0)
-        neg = jnp.full((1, nslot), NEVSEL, jnp.float32)
-        zero = jnp.zeros((1, nslot), jnp.float32)
-        st_ref[...] = jnp.concatenate(
-            [hrow, neg, neg, neg, neg, dirrow, zero, zero], axis=0)
-        gl_ref[...] = jnp.zeros((10 * an, nslot), jnp.float32)
+        st_ref[...] = st0_ref[0]
+        gl_ref[...] = gl0_ref[0]
 
     def shift_lo(x, fill):
         r = pltpu.roll(x, 1, axis=1)
@@ -178,7 +176,7 @@ def _kernel(prm_ref, fa_ref, fb_ref, score_ref, dirs_ref, opens_ref,
         (Hval, Gval, Fval, G2val, F2val, Hdir,
          Hgla, Hglb, Ggla, Gglb, Fgla, Fglb,
          G2gla, G2glb, F2gla, F2glb, dirs_blk, opens_blk) = carry
-        d = dblk * DSTEP + i                       # int32 scalar
+        d = d0 + dblk * DSTEP + i                  # int32 scalar
 
         # ---- sliced doubled stacks (one roll per side) -----------------
         sa = jnp.mod(-(XA - 2 - d + lwi), XA)
@@ -439,16 +437,48 @@ def _kernel(prm_ref, fa_ref, fb_ref, score_ref, dirs_ref, opens_ref,
     def _finish():
         sc = jnp.max(jnp.where(r_f == lb - la, Hval, NEVSEL))
         score_ref[...] = jnp.full((1, 8, 128), sc, jnp.float32)
+        stf_ref[0] = st_ref[...]
+        glf_ref[0] = gl_ref[...]
+
+
+def init_state(lw: int, nslot: int, an: int):
+    """Host-side initial carry (matches the kernel's former cold
+    init): the DP corner lives on diagonal r = 0."""
+    r = lw - 1 + np.arange(nslot)
+    st = np.full((8, nslot), NEVSEL, np.float32)
+    st[0] = np.where(r == 0, 0.0, NEVSEL)
+    st[5] = np.where(r == 0, float(D_DIAG), 0.0)
+    st[6:8] = 0.0
+    gl = np.zeros((10 * an, nslot), np.float32)
+    return st, gl
+
+
+def _launch(prm, FA, FB, st0=None, gl0=None, **kw):
+    """prm (B, NPRM) f32; FA (B, rowsA, XA); FB (B, rowsB, XB);
+    st0/gl0 (B, 8, nslot)/(B, 10*an, nslot) initial carries (None =
+    cold start from each pair's lw).  Returns (score (B,), dirs
+    (B, nsteps, nslot) i8, opens likewise, stf, glf) — the final
+    carries let chunked (linear-space) runs resume."""
+    if st0 is None or gl0 is None:
+        prm_h = np.asarray(prm)
+        B = prm_h.shape[0]
+        sts, gls = [], []
+        for k in range(B):
+            st_, gl_ = init_state(int(prm_h[k, 2]), kw["nslot"],
+                                  kw["an"])
+            sts.append(st_)
+            gls.append(gl_)
+        st0 = jnp.stack([jnp.asarray(x) for x in sts])
+        gl0 = jnp.stack([jnp.asarray(x) for x in gls])
+    return _launch_core(prm, FA, FB, st0, gl0, **kw)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("an", "bn", "Cp", "nslot", "nsteps", "la_max",
                      "lb_max", "ls3", "interpret"))
-def _launch(prm, FA, FB, *, an, bn, Cp, nslot, nsteps, la_max, lb_max,
-            ls3=False, interpret=False):
-    """prm (B, NPRM) f32; FA (B, rowsA, XA); FB (B, rowsB, XB).
-    Returns score (B,), dirs (B, nsteps, nslot) i8, opens likewise."""
+def _launch_core(prm, FA, FB, st0, gl0, *, an, bn, Cp, nslot,
+                 nsteps, la_max, lb_max, ls3=False, interpret=False):
     B = prm.shape[0]
     prm = prm.reshape(B, 1, NPRM)
     XA = FA.shape[2]
@@ -458,11 +488,14 @@ def _launch(prm, FA, FB, *, an, bn, Cp, nslot, nsteps, la_max, lb_max,
                              nsteps=nsteps, XA=XA, XB=XB, nD=nD, ls3=ls3)
     _, rowsA, _ = stack_layout(an, Cp)
     _, rowsB, _ = stack_layout(bn, Cp)
-    score, dirs, opens = pl.pallas_call(
+    score, dirs, opens, stf, glf = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
                    jax.ShapeDtypeStruct((B, nsteps, nslot), jnp.int8),
-                   jax.ShapeDtypeStruct((B, nsteps, nslot), jnp.int8)),
+                   jax.ShapeDtypeStruct((B, nsteps, nslot), jnp.int8),
+                   jax.ShapeDtypeStruct((B, 8, nslot), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 10 * an, nslot),
+                                        jnp.float32)),
         grid=(B, nD),
         in_specs=[
             pl.BlockSpec((1, 1, NPRM), lambda b, d: (b, 0, 0),
@@ -470,6 +503,10 @@ def _launch(prm, FA, FB, *, an, bn, Cp, nslot, nsteps, la_max, lb_max,
             pl.BlockSpec((1, rowsA, XA), lambda b, d: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rowsB, XB), lambda b, d: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, nslot), lambda b, d: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 10 * an, nslot), lambda b, d: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -479,6 +516,10 @@ def _launch(prm, FA, FB, *, an, bn, Cp, nslot, nsteps, la_max, lb_max,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, DSTEP, nslot), lambda b, d: (b, d, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, nslot), lambda b, d: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 10 * an, nslot), lambda b, d: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((8, nslot), jnp.float32),
@@ -487,8 +528,8 @@ def _launch(prm, FA, FB, *, an, bn, Cp, nslot, nsteps, la_max, lb_max,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(prm, FA, FB)
-    return score[:, 0, 0], dirs, opens
+    )(prm, FA, FB, st0, gl0)
+    return score[:, 0, 0], dirs, opens, stf, glf
 
 
 def pack_pair(CA, CB, ea0, eb0, cols, La, Lb, wdw, u, gop_scale,
