@@ -354,6 +354,10 @@ def aln_main(argv=None) -> int:
                    help="shuffle significance test with N jumbles")
     p.add_argument("-G", action="store_true",
                    help="spliced alignment: first input is genomic DNA")
+    p.add_argument("-pi", action="store_true", dest="pi",
+                   help="color intron positions (ANSI; reference -pi)")
+    p.add_argument("-ph", action="store_true", dest="ph",
+                   help="color intron positions as HTML (reference -ph)")
     p.add_argument("-yl", type=int, default=None,
                    help="2/3: spliced (gene-prediction) alignment "
                         "(reference -yl2/-yl3; implies -G)")
@@ -455,8 +459,9 @@ def aln_main(argv=None) -> int:
                     sh=args.w if args.w is not None else -50,
                     u=args.u, v=args.v, pam=args.yp, yj=args.yJ,
                     species=args.T)
+                mk = 2 if args.ph else (1 if args.pi else 0)
                 out.append(res.render(args.O & 7 if args.O < 16
-                                      else args.O))
+                                      else args.O, markeij=mk))
             else:
                 for q in qrecs:
                     res = spliced_align_h(

@@ -296,6 +296,7 @@ class SplicedResultH:
     pam: int
     exin: Exin
     raw_knots: list = None     # untrimmed chain (terminal runs kept)
+    msa: object = None         # query group (GSA multi-row display)
 
     @property
     def reported_score(self) -> float:
@@ -308,7 +309,7 @@ class SplicedResultH:
     def exons(self):
         return [(e.left + 1, e.right) for e in self.gs.exons]
 
-    def render(self, mode: int = 1) -> str:
+    def render(self, mode: int = 1, markeij: int = 0) -> str:
         rep = self.reported_score
         glen = len(self.genome)
         qlen = len(self.protein)
@@ -331,7 +332,8 @@ class SplicedResultH:
         return spliced_alignment_text_h(
             self.gs, self.raw_knots or self.knots, self.genome,
             self.protein, self.exin, self.gname, self.qname, rep,
-            u=self.u, v=self.v, pam=self.pam)
+            u=self.u, v=self.v, pam=self.pam, msa=self.msa,
+            markeij=markeij)
 
 
 def profile_qprof(codes: np.ndarray, weight, tm: np.ndarray
@@ -433,7 +435,8 @@ def spliced_align_h(genome: str, protein, gname: str = "genome",
                                   else None), api=api)
     return SplicedResultH(score=score, knots=knots, gs=gs, gname=gname,
                           qname=qname, genome=genome, protein=protein,
-                          u=u, v=v, pam=pam, exin=exin, raw_knots=raw)
+                          u=u, v=v, pam=pam, exin=exin, raw_knots=raw,
+                          msa=msa)
 
 
 def spliced_alignment_text_h(gs: GeneStructure, knots, genome: str,
@@ -441,22 +444,43 @@ def spliced_alignment_text_h(gs: GeneStructure, knots, genome: str,
                              qname: str, reported: float, u: float,
                              v: float, pam: int, lpw: int = 60,
                              margin: int = 10,
-                             raw: float | None = None) -> str:
+                             raw: float | None = None,
+                             msa=None, markeij: int = 0) -> str:
     """Default -O1 printout: codon-spaced rows — translated genome on
     top, genome nt (introns lowercase) in the middle, query residues on
-    the bottom (sqpr.cc PrintAln over tron sequences)."""
+    the bottom (sqpr.cc PrintAln over tron sequences).  With ``msa``
+    every member of the query group is printed (GSA display,
+    sqpr.cc:1686 fphseq over all rows); ``markeij`` colors each
+    member's intron-position residues like the prrn -pi/-ph modes
+    (sqpr.cc:2133-2142 markiis) and suppresses the score block, like
+    the reference's -pi output."""
+    many = msa.many if msa is not None else 1
+    dispname = msa.names[0] if msa is not None else qname
     hdr = [""]
     hdr.append(f">{gname} [1:{len(genome)}]  ( 1 - {len(genome)} ) - "
+               f">{dispname} [{many}:{len(protein)}]"
+               f"  ( 1 - {len(protein)} )"
+               if msa is not None else
+               f">{gname} [1:{len(genome)}]  ( 1 - {len(genome)} ) - "
                f">{qname} [1:{len(protein)}]  ( 1 - {len(protein)} )")
-    hdr.append(fmt.cjoin_line(gs))
-    hdr.append("PAM = %d, BIAS = 0.0, u = %.1f, v = %.1f" % (pam, u, v))
-    denom = gs.mch + gs.mmc + gs.unp
-    pct = 100.0 * gs.mch / denom if denom else 0.0
-    hdr.append("Score = %5.1f (%5.1f), %.1f (=), %.1f (#), %.1f (g), "
-               "%.1f (u), (%5.2f %%)"
-               % (reported, gs.score if raw is None else raw,
-                  gs.mch, gs.mmc, gs.gap, gs.unp, pct))
-    hdr.append("ALIGNMENT   1 / 1")
+    hdr.extend(fmt.cjoin_wrapped(gs))
+    if not markeij:
+        hdr.append("PAM = %d, BIAS = 0.0, u = %.1f, v = %.1f"
+                   % (pam, u, v))
+        denom = gs.mch + gs.mmc + gs.unp
+        pct = 100.0 * gs.mch / denom if denom else 0.0
+        hdr.append("Score = %5.1f (%5.1f), %.1f (=), %.1f (#), "
+                   "%.1f (g), %.1f (u), (%5.2f %%)"
+                   % (reported, gs.score if raw is None else raw,
+                      gs.mch, gs.mmc, gs.gap, gs.unp, pct))
+        if msa is not None and msa.weight is not None:
+            wl = ""
+            for k in range(many):
+                wl += " %14.7e" % msa.weight[k]
+                if (k + 1) % 5 == 0 and k + 1 < many:
+                    wl += "\n%"
+            hdr.append("%" + wl)
+        hdr.append("ALIGNMENT   1 / 1")
     text = "\n".join(hdr) + "\n"
 
     introns = [(e0.right, e1.left) for e0, e1 in
@@ -548,11 +572,49 @@ def spliced_alignment_text_h(gs: GeneStructure, knots, genome: str,
                     gpos.append(n + dn)
                     ppos.append(m + d + k)
                     gimg.append("-")
-                    timg.append(" ")
+                    timg.append("-" if j == 1 else " ")
                     pimg.append(qa if j == 1 else " ")
         m, n = wm, wn
 
     ncol = len(gimg)
+    # case folding strictly by the FINAL gene structure (reference toCDS
+    # semantics): exon bases uppercase, everything else (introns incl.
+    # phase-split junction-codon bases, terminal skips) lowercase —
+    # the raw knot segmentation can disagree by the acceptor/donor
+    # phase shift
+    exr = [( _e.left, _e.right) for _e in gs.exons]
+
+    def in_exon(g):
+        return any(l0 <= g < r0 for l0, r0 in exr)
+
+    for j in range(ncol):
+        if gimg[j] != "-":
+            gimg[j] = (gimg[j].upper() if in_exon(gpos[j])
+                       else gimg[j].lower())
+    # member display rows: every letter cell in pimg shows member i's
+    # character at the same profile column (GSA multi-row display)
+    if msa is not None:
+        from .. import alphabet as _ab
+        mchr = [_ab.decode(msa.codes[i], msa.molc)
+                for i in range(many)]
+        mrows = []
+        for i in range(many):
+            row = []
+            for j in range(ncol):
+                ch = pimg[j]
+                if ch not in (" ", "-"):
+                    c = ppos[j]
+                    ch = mchr[i][c] if c < len(mchr[i]) else " "
+                row.append(ch)
+            mrows.append(row)
+        # residue numbering prefix per member
+        pref = [np.cumsum([0] + [1 if c != "-" else 0
+                                 for c in mchr[i]])
+                for i in range(many)]
+        marks = {}
+        if markeij and msa.eij is not None:
+            from ..io import _eij_marks
+            marks = _eij_marks(msa)
     z = 0
     while z < ncol:
         # long all-intron stretches get skipped like the cDNA printer
@@ -569,17 +631,42 @@ def spliced_alignment_text_h(gs: GeneStructure, knots, genome: str,
         text += "\n"
         tseg = "".join(timg[z: z + lpw]).ljust(lpw)
         gseg = "".join(gimg[z: z + lpw]).ljust(lpw)
-        pseg = "".join(pimg[z: z + lpw]).ljust(lpw)
-        # the query number is the first residue whose letter (codon
-        # center) falls inside this block
-        qnum = ppos[z] + 1
-        for j in range(z, min(z + lpw, ncol)):
-            if pimg[j] not in (" ", "-"):
-                qnum = ppos[j] + 1
-                break
         text += "         %s\n" % tseg
         text += "%8d %s| %s\n" % (gpos[z] + 1, gseg, gname)
-        text += "%8d %s| %s\n" % (qnum, pseg, qname)
+        if msa is None:
+            pseg = "".join(pimg[z: z + lpw]).ljust(lpw)
+            # the query number is the first residue whose letter (codon
+            # center) falls inside this block
+            qnum = ppos[z] + 1
+            for j in range(z, min(z + lpw, ncol)):
+                if pimg[j] not in (" ", "-"):
+                    qnum = ppos[j] + 1
+                    break
+            text += "%8d %s| %s\n" % (qnum, pseg, qname)
+        else:
+            for i in range(many):
+                cells = mrows[i][z: z + lpw]
+                qnum = None
+                for j in range(z, min(z + lpw, ncol)):
+                    ch = mrows[i][j]
+                    if ch not in (" ", "-") and pimg[j] not in (" ", "-"):
+                        qnum = int(pref[i][ppos[j]]) + 1
+                        break
+                if qnum is None:
+                    qnum = int(pref[i][min(ppos[z], len(mchr[i]) - 1)]) + 1
+                if marks:
+                    cells = list(cells)
+                    for j in range(z, min(z + lpw, ncol)):
+                        if pimg[j] in (" ", "-"):
+                            continue
+                        bg = marks.get((i, ppos[j]))
+                        if bg is not None:
+                            cells[j - z] = (f"\x1b[37;{bg};1m"
+                                            f"{cells[j - z]}\x1b[0m")
+                pseg = "".join(cells)
+                pad = lpw - min(z + lpw, ncol) + z
+                text += "%8d %s| %s\n" % (qnum, pseg + " " * pad,
+                                           msa.names[i])
         z += lpw
     text += "\n\n"
     return text

@@ -15,6 +15,23 @@ def _site(x: int) -> int:
     return x + 1                  # SiteNo: 1-based position
 
 
+def cjoin_wrapped(gs: GeneStructure, width: int = 57) -> list:
+    """;C join(...) wrapped over continuation lines like the reference
+    writer (seq.cc putcds: parts split after commas near ``width``)."""
+    parts = [f"{_site(e.left)}..{e.right}" for e in gs.exons]
+    lines = []
+    cur = ";C join("
+    for k, p in enumerate(parts):
+        tok = p + ("," if k + 1 < len(parts) else ")")
+        if len(cur) + len(tok) > width + 3 and cur not in (";C ",
+                                                          ";C join("):
+            lines.append(cur)
+            cur = ";C "
+        cur += tok
+    lines.append(cur)
+    return lines
+
+
 def cjoin_line(gs: GeneStructure) -> str:
     parts = [f"{_site(e.left)}..{e.right}" for e in gs.exons]
     return ";C join(" + ",".join(parts) + ")"
