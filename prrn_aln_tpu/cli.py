@@ -21,6 +21,19 @@ from .msa.merge import merge_msas
 from .pipeline import build_msa
 
 
+def _resolve_inputs(inputs, srcdir):
+    """Reference -s: input names resolve inside the source directory
+    (iolib makefnam path search)."""
+    if not srcdir:
+        return inputs
+    from pathlib import Path
+    out = []
+    for f in inputs:
+        cand = Path(srcdir) / f
+        out.append(str(cand) if cand.exists() else f)
+    return out
+
+
 def _out(msa, fmt: str, path=None, markeij: int = 0):
     if fmt == "fasta":
         text = io.write_fasta(msa)
@@ -158,7 +171,11 @@ def prrn_main(argv=None) -> int:
                    help="save a refinement checkpoint (MSA+seed+iter)")
     p.add_argument("--resume", default=None, metavar="FILE",
                    help="resume from a checkpoint written by --ckpt")
+    p.add_argument("-s", dest="srcdir", default=None, metavar="DIR",
+                   help="directory containing the input files "
+                        "(reference -s, iolib setdfn)")
     args = p.parse_args(argv)
+    args.inputs = _resolve_inputs(args.inputs, args.srcdir)
     _apply_sshp(args)
     from .utils.runstat import runstat, save_checkpoint, load_checkpoint
     runstat.setfmessg(args.E)
@@ -354,6 +371,9 @@ def aln_main(argv=None) -> int:
                    help="shuffle significance test with N jumbles")
     p.add_argument("-G", action="store_true",
                    help="spliced alignment: first input is genomic DNA")
+    p.add_argument("-s", dest="srcdir", default=None, metavar="DIR",
+                   help="directory containing the input files "
+                        "(reference -s, iolib setdfn)")
     p.add_argument("-pi", action="store_true", dest="pi",
                    help="color intron positions (ANSI; reference -pi)")
     p.add_argument("-ph", action="store_true", dest="ph",
@@ -382,6 +402,7 @@ def aln_main(argv=None) -> int:
                         "reference -mS)")
     _add_sshp_args(p)
     args = p.parse_args(argv)
+    args.inputs = _resolve_inputs(args.inputs, args.srcdir)
     _apply_sshp(args)
 
     if args.b:

@@ -756,8 +756,11 @@ def _sweep_h(M, N, lw, up, a_exg, b_exg, lcl,
               jnp.tile(jnp.arange(NCAND_H + 1, dtype=I32), (MR, 3, 1)),
               jnp.zeros((MR, 3), I32))
     ts = jnp.arange(t_min, t_max + 1, dtype=I32)
+    # unroll amortizes per-step fusion dispatch on TPU; on CPU it
+    # multiplies XLA compile time ~50x for no run-time gain
+    _unroll = 8 if jax.default_backend() == "tpu" else 1
     carry_f, (evw, jdw, Vw, Dw) = jax.lax.scan(wave_step, carry0, ts,
-                                               unroll=8)
+                                               unroll=_unroll)
 
     # final band arrays reconstructed from the per-wave cell planes
     # (replaces a per-step 36k-wide scatter, which XLA serializes):
