@@ -74,7 +74,7 @@ def group_dp_gcups(reps=3):
     m = np.arange(L)[:, None]
     n = np.arange(L)[None, :]
     cells = int((((n - m) >= w.lw) & ((n - m) <= w.up)).sum()) * NP_
-    return cells / best / 1e9, best
+    return cells / best / 1e9, best, dev, cells
 
 
 def spliced_gcups(reps=2):

@@ -313,6 +313,58 @@ def _eij_marks(msa: Msa) -> dict[tuple[int, int], int]:
     return marks
 
 
+# per-residue-code chemical classes for the consensus row
+# (sqpr.cc:1388-1412 AaProp/proch; chemcode " .+_@C$.jo")
+_PROCH0 = [0, 0, 0, 1, 2, 3, 3, 7, 3, 3, 1, 2, 4, 4, 2, 4, 6, 1, 1, 1,
+           6, 6, 4, 3, 3]
+_PROCH1 = [0, 0, 0, 7, 8, 8, 8, 9, 8, 8, 7, 8, 9, 9, 8, 9, 9, 7, 7, 7,
+           9, 9, 9, 8, 8]
+_CHEMCODE = " .+_@C$.jo"
+
+
+def _csym_row(msa: Msa, start: int, width: int) -> str:
+    """Per-block consensus/conservation row (sqpr.cc:1390-1475
+    csym/chempro/logonuc, printed by calc_mrk after the member rows)."""
+    out = []
+    for c in range(start, min(start + width, msa.length)):
+        col = msa.codes[:, c]
+        vals, cnts = np.unique(col, return_counts=True)
+        if (vals == 0).any():                    # BLANK present
+            out.append(" ")
+            continue
+        ii = int(vals[int(np.argmax(cnts))])     # ties -> lowest code
+        if len(vals) == 1:                       # conserved (incl. gap)
+            out.append(ab.decode(np.array([ii]), msa.molc))
+            continue
+        if msa.molc == ab.PROTEIN:
+            pres = [int(v) for v in vals if v >= ab.ALA]
+            p, s = _PROCH0[ii], _PROCH1[ii]
+            if all(_PROCH0[v] == p for v in pres):
+                out.append(_CHEMCODE[p])
+            elif all(_PROCH1[v] == s for v in pres):
+                out.append(_CHEMCODE[s])
+            else:
+                out.append(" ")
+        else:                                    # logonuc
+            if ii <= ab.GAP:
+                out.append(" ")
+                continue
+            bits = 0
+            for v in vals:
+                if 2 <= int(v) <= 16:
+                    bits |= int(v) - 1
+            n = (1 if (vals == ab.GAP).any() else 0) \
+                + bin(bits & 0b1111).count("1")
+            if n == 1:
+                out.append(ab.decode(np.array([bits]), msa.molc))
+            elif n == 2:
+                out.append(ab.decode(np.array([bits + 1]),
+                                     msa.molc).lower())
+            else:
+                out.append(" ")
+    return "\t " + "".join(out).ljust(width)
+
+
 def write_native_block(msa: Msa, path=None, width: int = 60,
                        markeij: int = 0) -> str:
     """Reference-style block output: header, then 60-column blocks with
@@ -329,7 +381,8 @@ def write_native_block(msa: Msa, path=None, width: int = 60,
     if markeij:
         out = [f">{first}", ""]
     else:
-        out = [f">{first} [{msa.many}:{msa.length}]  ( 1 - {msa.length} )"]
+        out = ["",
+               f">{first} [{msa.many}:{msa.length}]  ( 1 - {msa.length} )"]
         if msa.eij is not None:
             out += _sigii_lines(msa, width)
         out.append("")
@@ -355,7 +408,11 @@ def write_native_block(msa: Msa, path=None, width: int = 60,
                 disp = "".join(chars)
             out.append(f"{pos[i]:8d} {disp}| {msa.names[i]}")
             pos[i] += sum(1 for c in seg if c not in "- ")
+        if msa.many > 2:
+            out.append(_csym_row(msa, start, width))
         out.append("")
+    if out and out[-1] == "" and msa.many > 2:
+        out.pop()                     # reference ends after the last row
     text = "\n".join(out) + "\n"
     if markeij == 2:
         text = (f"<html>\n<head>\n<title>{first}</title>\n</head>\n"
