@@ -399,7 +399,8 @@ def write_native_block(msa: Msa, path=None, width: int = 60,
                         if markeij == 2:
                             col = {41: "red", 42: "green",
                                    44: "blue"}[bg]
-                            chars[k] = ('<b><font style="background-'
+                            chars[k] = ('<b><font color="white" '
+                                        'style="background-'
                                         f'color:{col}">{chars[k]}'
                                         "</font></b>")
                         else:
@@ -415,7 +416,8 @@ def write_native_block(msa: Msa, path=None, width: int = 60,
         out.pop()                     # reference ends after the last row
     text = "\n".join(out) + "\n"
     if markeij == 2:
-        text = (f"<html>\n<head>\n<title>{first}</title>\n</head>\n"
+        text = (f"<html>\n<head>\n<title>Prrn: {first}</title>\n"
+                "</head>\n"
                 "<body>\n<p>\n<pre>\n" + text
                 + "</pre>\n</p>\n</body>\n")
     if path:
