@@ -337,8 +337,14 @@ def aln_main(argv=None) -> int:
     # (argparse only auto-splits single-char ones): -yl2 -> -yl 2
     split = []
     for t in argv:
-        if len(t) > 3 and t[:3] in ("-yl", "-yp", "-yJ") and \
-                t[3:].lstrip("-").isdigit():
+        glued = False
+        if len(t) > 3 and t[:3] in ("-yl", "-yp", "-yJ"):
+            try:                       # -yJ takes float values (-yJ0.5)
+                float(t[3:])
+                glued = True
+            except ValueError:
+                glued = False
+        if glued:
             split.extend([t[:3], t[3:]])
         else:
             split.append(t)

@@ -202,20 +202,44 @@ def _device_overlap(per_seed, n: int) -> tuple[np.ndarray, np.ndarray]:
         for i, r in enumerate(rows):
             W[i, :len(r)] = r
         tmax = 1
+        counts = []
         for r in rows:
             if len(r):
-                tmax = max(tmax, int(np.unique(r,
-                                               return_counts=True)[1]
-                                     .max()))
+                counts.append(np.unique(r, return_counts=True))
+                tmax = max(tmax, int(counts[-1][1].max()))
+            else:
+                counts.append((np.empty(0, np.int64),
+                               np.empty(0, np.int64)))
+        # repetitive/low-complexity sequences can make tmax ~ sequence
+        # length; cap the matmul levels and add the (rare) residual
+        # overlap min(ci, cj) - TCAP for high-multiplicity words on
+        # host (ADVICE r4)
+        TCAP = 16
         Wd = jnp.asarray(W, jnp.int32)
         C = jnp.zeros((n, V), jnp.int32).at[
             jnp.arange(n)[:, None], Wd].add(1, mode="drop")
         acc = jnp.zeros((n, n), jnp.float32)
-        for t in range(1, tmax + 1):
+        for t in range(1, min(tmax, TCAP) + 1):
             Bt = (C >= t).astype(jnp.bfloat16)
             acc = acc + jnp.matmul(Bt, Bt.T,
                                    preferred_element_type=jnp.float32)
         O += np.asarray(acc, np.float64)
+        if tmax > TCAP:
+            hi = [(w[c > TCAP], c[c > TCAP] - TCAP)
+                  for w, c in counts]
+            for i in range(n):
+                wi, ci = hi[i]
+                if not len(wi):
+                    continue
+                for j in range(n):
+                    wj, cj = hi[j]
+                    if not len(wj):
+                        continue
+                    common, ia, ja = np.intersect1d(
+                        wi, wj, return_indices=True)
+                    if len(common):
+                        O[i, j] += float(
+                            np.minimum(ci[ia], cj[ja]).sum())
     return O, totals
 
 

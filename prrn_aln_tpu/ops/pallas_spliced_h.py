@@ -1,0 +1,1013 @@
+"""Pallas TPU kernel: spliced genome x protein/profile DP (fwd2h).
+
+The wave formulation of ``ops/spliced_h_jax._sweep_h`` (one wave
+t = 3m + n per step, every row advancing one genome column) re-built
+as a single resident Pallas kernel so the 36k-wave sweep runs without
+per-step XLA dispatch (the `lax.scan` engine pays ~0.25 ms of fusion
+launch per wave; this kernel's wave body is a few hundred VPU ops on
+(8,128) tiles).  Reference recurrence: src/fwd2h.h:270-583 (forwardH
+with the RVPDJ_nv record); the NumPy oracle and the scan engine are
+the parity targets.
+
+TPU mapping:
+
+* **Rows ride one (8,128) tile.**  Row m of the wave lives at
+  (sublane, lane) = (m // 128, m % 128); every per-row vector of the
+  scan body becomes one f32/i32 tile op (requires M + 1 <= 1024).
+* **Ring state in VMEM scratch.**  The 6/3-deep wave rings (H, ne, G,
+  sj) are circular scratch buffers indexed by t mod depth; records
+  that the scan read with a per-wave `jnp.roll` (the row-below m-1
+  reads) are stored twice, once pre-shifted down by one row, so reads
+  are plain slot loads.
+* **Flipped stride-3 tables kill the gathers.**  Every per-position
+  signal array is decimated by residue class and *reversed* so the
+  per-wave affine read v[m] = tab[c - 3m] becomes one aligned
+  (9,128) sublane slice plus a dynamic lane roll (the trick of
+  ops/pallas_pairwise.py band packing).
+* **No table gathers at candidate positions.**  Quantities the merge
+  step needs at the stored donor position (A1 junction-codon row,
+  r1idx, dinc5) are read at *push* time - when the position is the
+  affine current column - and carried in the candidate list; the
+  pair53[dinc5, dinc3] + sss3 acceptor term is host-composed into 16
+  per-position tables selected by the stored dinc5.
+* **Closed-form intron penalty.**  IntronPenalty's table region is a
+  Frechet-mixture log-density (codepot.cc); the kernel evaluates the
+  mixture directly (matches the f64-built table to ~2e-5) instead of
+  gathering an 806-entry table.
+
+Outputs are the same per-wave event/junction planes the scan engine
+emits; initH/lastH and the traceback stay in
+``spliced_h_jax.forward_h_device``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import alphabet as ab
+from ..splice import tron
+from .spliced_np import NEVSEL, DIAG, NEWD, SPIN, SPJCI
+from .spliced_h_np import NCAND_H, INTR
+from .spliced_h_jax import (EVH_SJ, EVH_JXH, EVH_JXF, EVH_JXG, EVH_CSH,
+                            _codon_tables)
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+SUB = 8                  # sublanes: rows m live at (m // 128, m % 128)
+LANE = 128
+MRP = SUB * LANE         # max M + 1 supported by the (8,128) layout
+CH = 8                   # waves per grid step
+SHRT_MIN = -32768.0
+NSLOT = NCAND_H + 1
+
+# table column ids (flipped stride-3 stack)
+C_TRN, C_SIGE, C_PHS5, C_PHS3, C_SIG5, C_E3 = 0, 1, 2, 3, 4, 5
+C_A2 = 6                 # 6..10
+C_A1 = 11                # 11..15
+C_R1, C_D5 = 16, 17
+C_P53 = 18               # 18..33  (pair53[k, dinc3[pos]] + sss3[pos])
+NCOL = 34
+
+_FILLS = {C_PHS5: -2.0, C_PHS3: -2.0, C_E3: 4.0, C_R1: 4.0}
+
+
+def _pad128(x: int) -> int:
+    return ((x + 127) // 128) * 128
+
+
+# --------------------------------------------------------------------
+# host-side table packing
+# --------------------------------------------------------------------
+
+def _flip3(col: np.ndarray, fill: float, OFF: int, qf_len: int):
+    """(3, qf_len) f32: variant r holds TrF[j] = col[3*(OFF-j) + r]
+    (fill outside [0, len(col)))."""
+    out = np.full((3, qf_len), np.float32(fill))
+    j = np.arange(qf_len)
+    for r in range(3):
+        idx = 3 * (OFF - j) + r
+        m = (idx >= 0) & (idx < col.shape[0])
+        out[r, m] = col[idx[m]]
+    return out
+
+
+def _dec6(col: np.ndarray, padq: int, ql_len: int):
+    """(6, ql_len) f32: variant r holds L[j] = col[6*(j-padq) + r]."""
+    out = np.zeros((6, ql_len), np.float32)
+    j = np.arange(ql_len)
+    for r in range(6):
+        idx = 6 * (j - padq) + r
+        m = (idx >= 0) & (idx < col.shape[0])
+        out[r, m] = col[idx[m]]
+    return out
+
+
+def _pack_host(M, N, lw, up, b, exin, qprof, api_arr, H0np, t_max):
+    """Build all numpy device inputs for the kernel."""
+    TL = N + 2
+    OFF = (t_max + 1) // 3 + 2
+    qf_len = _pad128(OFF + MRP + 144)
+    QF = qf_len // 128
+
+    def padded(x, fill):
+        x = np.asarray(x, np.float32)
+        out = np.full(TL, np.float32(fill))
+        k = min(x.shape[0], TL)
+        out[:k] = x[:k]
+        return out
+
+    A1, A2, e3idx, r1idx = _codon_tables(b)
+    dinc3 = np.asarray(exin.sig.dinc3, np.int64)
+    dinc5 = np.asarray(exin.sig.dinc5, np.int64)
+    sss3 = np.asarray(exin.sig.sss3, np.float32)
+    pair53 = np.asarray(exin.sig.pair53, np.float32)
+    Lp = min(len(dinc3), len(sss3), TL)
+
+    cols = {
+        C_TRN: padded(exin.trn, 0.0),
+        C_SIGE: padded(exin.sigE, 0.0),
+        C_PHS5: padded(exin.phs5[:N + 1], -2.0),
+        C_PHS3: padded(exin.phs3[:N + 1], -2.0),
+        C_SIG5: padded(exin.sig.sig5, 0.0),
+        C_E3: padded(e3idx, 4.0),
+        C_R1: padded(r1idx, 4.0),
+        C_D5: padded(dinc5, 0.0),
+    }
+    for k in range(5):
+        cols[C_A2 + k] = padded(A2[:, k], 0.0)
+        cols[C_A1 + k] = padded(A1[:, k], 0.0)
+    for k in range(16):
+        c = np.full(TL, np.float32(pair53[k, 0]))
+        c[:Lp] = pair53[k, dinc3[:Lp]] + sss3[:Lp]
+        cols[C_P53 + k] = c
+
+    TF = np.zeros((NCOL, 3, QF, 128), np.float32)
+    for cid, col in cols.items():
+        TF[cid] = _flip3(col, _FILLS.get(cid, 0.0), OFF,
+                         qf_len).reshape(3, QF, 128)
+
+    # left-column init records (reversed H0 head), stride-6 decimated
+    off0 = -lw + 3
+    LL = off0
+    PADQ = M + 4
+    ql_len = _pad128(PADQ + MRP + 144)
+    QL = ql_len // 128
+    L6 = np.zeros((5, 6, QL, 128), np.float32)
+    for fi, f in enumerate(("V", "D", "GA", "GB", "J")):
+        left = np.asarray(H0np[f][:off0 + 1][::-1], np.float32)
+        L6[fi] = _dec6(left, PADQ, ql_len).reshape(6, QL, 128)
+
+    # top-row init records by genome column (slot idx(pos) = pos-lw+3)
+    r0_max = min(up, N)
+    qr_len = _pad128(r0_max + 260)
+    QR = qr_len // 128
+    R0 = np.zeros((5, QR, 128), np.float32)
+    R0[0] = NEVSEL
+    for fi, f in enumerate(("V", "D", "GA", "GB", "J")):
+        src = np.asarray(H0np[f], np.float32)
+        pos = np.arange(r0_max + 1)
+        R0[fi].reshape(-1)[:r0_max + 1] = src[pos + (3 - lw)]
+
+    # per-row profile columns & api
+    MR = M + 1
+    QPM = np.zeros((tron.TSIMD, SUB, 128), np.float32)
+    QP1 = np.zeros((tron.TSIMD, SUB, 128), np.float32)
+    qp = np.asarray(qprof, np.float32)
+    QPM.reshape(tron.TSIMD, -1)[:, :MR] = qp[:MR].T
+    QP1.reshape(tron.TSIMD, -1)[:, :MR] = qp[1:MR + 1].T
+    API = np.zeros((3, SUB, 128), np.float32)
+    ai = np.asarray(api_arr, np.float32)
+    for di, d in enumerate((-1, 0, 1)):
+        idx = 3 * np.arange(MR) + d
+        msk = (idx >= 0) & (idx < ai.shape[0])
+        API[di].reshape(-1)[:MR][msk] = ai[idx[msk]]
+    return dict(TF=TF, L6=L6, R0=R0, QPM=QPM, QP1=QP1, API=API,
+                OFF=OFF, PADQ=PADQ, LL=LL, r0_max=r0_max, QF=QF,
+                QL=QL, QR=QR)
+
+
+# --------------------------------------------------------------------
+# kernel
+# --------------------------------------------------------------------
+
+def _make_kernel(*, M, N, lw, up, a_exgr, prm, pen, OFF, PADQ, LL,
+                 r0_max, t_min, QF, QL, QR, e1pre_t):
+    (gop, gep, gap_e1, gap_e2, gap_w1, gap_w2, _gap_w3, fO) = prm
+    (llmt, rlmt, mu_t, int_ep, int_fx, gap_wi, fY, int_pen,
+     comps) = pen
+    LN10_INV = 1.0 / math.log(10.0)
+    TRM, TRM2 = tron.TRM, tron.TRM2
+
+    def kernel(tf_ref, l6_ref, r0_ref, qpm_ref, qp1_ref, api_ref,
+               e1_ref,
+               ev_ref, jd_ref, vo_ref, do_ref,
+               HV, HD, HGA, HGB, HJ,
+               NeV, NeD, NeGA, NeGB, NeJ,
+               GVs, GDs, GGAs, GGBs, GJs,
+               SJVs, SJDs, SJJs, SJKs,
+               clV, clJ, clD, clCS, clR1, clD5, clA1, nxs, ncand):
+        g = pl.program_id(0)
+        si = jax.lax.broadcasted_iota(I32, (SUB, LANE), 0)
+        li = jax.lax.broadcasted_iota(I32, (SUB, LANE), 1)
+        mv = si * LANE + li
+        nevv = jnp.full((SUB, LANE), NEVSEL, F32)
+        zi = jnp.zeros((SUB, LANE), I32)
+        zf = jnp.zeros((SUB, LANE), F32)
+        fb = mv < 0          # all-false bool tile (i1-safe)
+        n_first = jnp.maximum(3 * mv + lw, 1)
+        n_last = jnp.minimum(3 * mv + up, N)
+        nf1 = jnp.maximum(3 * (mv - 1) + lw, 1)
+        nl1 = jnp.minimum(3 * (mv - 1) + up, N)
+        internal = (mv < M) if a_exgr else (mv >= 0)
+        is1 = mv == 1
+
+        @pl.when(g == 0)
+        def _init():
+            HV[...] = jnp.full(HV.shape, NEVSEL, F32)
+            NeV[...] = jnp.full(NeV.shape, NEVSEL, F32)
+            GVs[...] = jnp.full(GVs.shape, NEVSEL, F32)
+            SJVs[...] = jnp.full(SJVs.shape, NEVSEL, F32)
+            clV[...] = jnp.full(clV.shape, NEVSEL, F32)
+            for r in (HD, HGA, HGB, HJ, NeD, NeGA, NeGB, NeJ, GDs,
+                      GGAs, GGBs, GJs, SJDs, SJJs, SJKs, clJ, clD,
+                      clCS, clR1, clD5, clA1, ncand):
+                r[...] = jnp.zeros(r.shape, I32)
+            nxs[...] = jax.lax.broadcasted_iota(I32, nxs.shape, 1)
+
+        def shd(x):
+            """shift rows down by one: y[m] = x[m-1] (y[0] garbage)."""
+            a = pltpu.roll(x, 1, axis=1)
+            b = pltpu.roll(a, 1, axis=0)
+            return jnp.where(li == 0, b, a)
+
+        def chain26(qp_ref, aa):
+            out = qp_ref[0]
+            for c in range(1, tron.TSIMD):
+                out = jnp.where(aa == c, qp_ref[c], out)
+            return out
+
+        def pen_f(length):
+            lf = length.astype(F32)
+            zsum = zf
+            for (a, mu, th, kk) in comps:
+                if a == 0.0:
+                    continue
+                d = jnp.maximum(lf - mu, 1e-30)
+                zz = th / d
+                zp = jnp.exp(kk * jnp.log(zz))
+                p = (kk / th) * zz * zp * jnp.exp(-zp)
+                zsum = zsum + jnp.where(lf > mu, a * p, 0.0)
+            gp = fY * (jnp.log(jnp.maximum(zsum, 1e-38)) * LN10_INV) \
+                - int_pen
+            gp = jnp.where(zsum > 0.0, gp, F32(SHRT_MIN))
+            tail = int_fx + int_ep * jnp.log(
+                jnp.maximum(lf - mu_t, 1.0))
+            out = jnp.where(lf >= rlmt, tail, gp)
+            out = jnp.where(lf < llmt, F32(NEVSEL), out)
+            out = jnp.where(lf < 0, F32(gap_wi), out)
+            return out
+
+        def gapopen(ga, gb, d3):
+            if d3 > 0:
+                return jnp.where(ga >= gb, F32(gop), F32(0.0))
+            return jnp.where(ga <= gb, F32(gop), F32(0.0))
+
+        def is_diag_d(x):
+            x = x & 15
+            return (x == DIAG) | (x == NEWD)
+
+        def is_vert_d(x):
+            x = x & 15
+            return ((x >= 4) & (x <= 7)) | (x == 12)
+
+        def is_hori_d(x):
+            x = x & 15
+            return ((x >= 8) & (x <= 11)) | (x == 13)
+
+        def d2n_of(x):
+            x = x & 15
+            out = jnp.full_like(x, -1)
+            out = jnp.where((x == DIAG) | (x == NEWD), 0, out)
+            out = jnp.where(((x >= 8) & (x <= 10)) | (x == 13), 1, out)
+            out = jnp.where(((x >= 4) & (x <= 6)) | (x == 12), 2, out)
+            out = jnp.where(x == 11, 3, out)
+            out = jnp.where(x == 7, 4, out)
+            return out
+
+        def sel_first_max(cands):
+            k = zi
+            best = cands[0]
+            for j in range(1, len(cands)):
+                upd = cands[j] > best
+                k = jnp.where(upd, j, k)
+                best = jnp.where(upd, cands[j], best)
+            return k, best
+
+        def selk(vals, k):
+            out = vals[0]
+            for j in range(1, len(vals)):
+                out = jnp.where(k == j, vals[j], out)
+            return out
+
+        def sel3(a, b, c, lidx):
+            return jnp.where(lidx == 1, b, jnp.where(lidx == 2, c, a))
+
+        def wave(i, _):
+            t = t_min + g * CH + i
+            n = t - 3 * mv
+            valid = (mv >= 1) & (n >= n_first) & (n <= n_last)
+            pua = jnp.where(internal, F32(gep), F32(0.0))
+
+            # ---- per-wave affine table reads -----------------------
+            dcB = []
+            for dc in range(4):
+                c = t - 2 + dc
+                r = jnp.mod(c, 3)
+                qc = (c - r) // 3
+                base = OFF - qc
+                qb = base // 128
+                rb = jnp.mod(base, 128)
+                sh = jnp.mod(128 - rb, 128)
+                dcB.append((r, qb, rb, sh))
+
+            def rd(col, dc):
+                r, qb, rb, sh = dcB[dc]
+                B = tf_ref[col, r, pl.ds(qb, SUB + 1), :]
+                lo = pltpu.roll(B[0:SUB, :], sh, axis=1)
+                hi = pltpu.roll(B[1:SUB + 1, :], sh, axis=1)
+                return jnp.where(li < 128 - rb, lo, hi)
+
+            # left-column records (only live while t <= 6M + 4)
+            def lb_read():
+                out = []
+                for dc in range(7):
+                    idx6 = dc - 3 - t
+                    r6 = jnp.mod(idx6, 6)
+                    qoff = (idx6 - r6) // 6
+                    base = jnp.clip(PADQ + qoff, 0,
+                                    (QL - SUB - 1) * 128)
+                    qb = base // 128
+                    rb = jnp.mod(base, 128)
+                    sh = jnp.mod(128 - rb, 128)
+                    for fi in range(5):
+                        B = l6_ref[fi, r6, pl.ds(qb, SUB + 1), :]
+                        lo = pltpu.roll(B[0:SUB, :], sh, axis=1)
+                        hi = pltpu.roll(B[1:SUB + 1, :], sh, axis=1)
+                        out.append(jnp.where(li < 128 - rb, lo, hi))
+                return tuple(out)
+
+            def lb_zero():
+                return tuple(zf for _ in range(35))
+
+            lbflat = jax.lax.cond(t <= 6 * M + 4, lb_read, lb_zero)
+            LB = [lbflat[5 * dc:5 * dc + 5] for dc in range(7)]
+
+            # top-row records at columns t-6+dc, value placed on lane 1
+            # (only the m==1 row-below read consumes them)
+            qb0 = jnp.clip((t - 6) // 128, 0, QR - 2)
+            r0rows = [r0_ref[fi, pl.ds(qb0, 2), :] for fi in range(5)]
+            RB = []
+            for dc in range(4):
+                c = t - 6 + dc
+                okc = (c >= 0) & (c <= r0_max)
+                qb = c // 128
+                rb = jnp.mod(c, 128)
+                sh1 = jnp.mod(1 - rb, 128)
+                rec = []
+                for fi in range(5):
+                    row = jnp.where(qb == qb0, r0rows[fi][0:1, :],
+                                    r0rows[fi][1:2, :])
+                    vv = jnp.broadcast_to(
+                        pltpu.roll(row, sh1, axis=1), (SUB, LANE))
+                    guard = nevv if fi == 0 else zf
+                    rec.append(jnp.where(okc, vv, guard))
+                RB.append(rec)
+
+            # ---- ring reads ----------------------------------------
+            s6 = jnp.mod(t, 6)
+            s3 = jnp.mod(t, 3)
+            sl6 = {k: jnp.mod(t - k, 6) for k in (1, 2, 3)}
+            sl6[6] = s6
+            sl6[5] = jnp.mod(t - 5, 6)
+            sl6[4] = jnp.mod(t - 4, 6)
+            sl3 = s3              # wave t-3 in a depth-3 ring
+
+            def mergel(vals, use_left, lbrec, fields):
+                out = list(vals)
+                for j, fi in enumerate(fields):
+                    lv = lbrec[fi]
+                    if fi == 0:
+                        out[j] = jnp.where(use_left, lv, out[j])
+                    else:
+                        out[j] = jnp.where(use_left,
+                                           lv.astype(I32), out[j])
+                return out
+
+            def row_below(refs, slot, shifted, off, r0rec, lbrec,
+                          fields):
+                col = n - off
+                ok = (mv >= 2) & (col >= nf1) & (col <= nl1)
+                out = []
+                for fi in fields:
+                    rf = refs[fi][slot, 1] if shifted == 2 \
+                        else refs[fi][slot]
+                    guard = nevv if fi == 0 else zi
+                    out.append(jnp.where(ok, rf, guard))
+                if lbrec is not None:
+                    ii = 3 * (mv - 1) - col
+                    use_left = (~ok) & (mv >= 2) & (col <= 0) \
+                        & (ii >= 0) & (ii <= LL)
+                    out = mergel(out, use_left, lbrec, fields)
+                if r0rec is not None:
+                    for j, fi in enumerate(fields):
+                        rv = r0rec[fi] if fi == 0 \
+                            else r0rec[fi].astype(I32)
+                        out[j] = jnp.where(is1, rv, out[j])
+                else:
+                    for j, fi in enumerate(fields):
+                        guard = nevv if fi == 0 else zi
+                        out[j] = jnp.where(is1, guard, out[j])
+                return out
+
+            def same_row(refs, slot, k, lbrec, fields):
+                nk = n - k
+                use_ring = nk >= n_first
+                out = []
+                for fi in fields:
+                    rf = refs[fi][slot, 0]
+                    guard = nevv if fi == 0 else zi
+                    out.append(jnp.where(use_ring, rf, guard))
+                if lbrec is not None:
+                    use_left = (~use_ring) & (nk <= 0) \
+                        & (3 * mv - nk >= 0) & (3 * mv - nk <= LL)
+                    out = mergel(out, use_left, lbrec, fields)
+                return out
+
+            Href = (HV, HD, HGA, HGB, HJ)
+            Neref = (NeV, NeD, NeGA, NeGB, NeJ)
+            Gref = (GVs, GDs, GGAs, GGBs, GJs)
+
+            hq = row_below(Href, sl6[6], 2, 3, RB[0], LB[0],
+                           (0, 1, 4))                      # V D J
+            f1 = row_below(Href, sl6[5], 2, 2, RB[1], LB[1],
+                           (0, 1, 3, 4))                   # V D GB J
+            f2 = row_below(Href, sl6[4], 2, 1, RB[2], LB[2],
+                           (0, 1, 3, 4))
+            f3 = row_below(Href, sl6[3], 2, 0, RB[3], LB[3],
+                           (0, 1, 2, 3, 4))
+            gdep = row_below(Gref, sl3, 1, 0, None, None,
+                             (0, 1, 2, 3, 4))
+            sjrec = row_below((SJVs, SJDs, SJJs, SJKs), s6, 1, 3,
+                              None, None, (0, 1, 2, 3))
+            sjV, sjDv, sjJ_, sjK_ = sjrec
+            b1 = same_row(Href, sl6[1], 1, LB[4], (0, 1, 2, 4))
+            b2 = same_row(Href, sl6[2], 2, LB[5], (0, 1, 2, 4))
+            b3 = same_row(Href, sl6[3], 3, LB[6], (0, 1, 2, 3, 4))
+            eqr = same_row(Neref, sl3, 3, None, (0, 1, 2, 3, 4))
+            if e1pre_t >= 0:
+                use = is1 & (t == e1pre_t)
+                eqr[0] = jnp.where(use, e1_ref[0, 0], eqr[0])
+                for j in range(1, 5):
+                    eqr[j] = jnp.where(use, e1_ref[0, j].astype(I32),
+                                       eqr[j])
+
+            hqV, hqD, hqJ = hq
+            sE = jnp.where(n >= 2, rd(C_SIGE, 0), zf)
+
+            # ---- diagonal / sj crossing ----------------------------
+            sj_used = (sjDv != 0) & (n > 2)
+            aa_d = rd(C_TRN, 0)
+            dv = chain26(qpm_ref, aa_d) + sE
+            hV = jnp.where(sj_used, sjV, hqV + dv)
+            hJ = jnp.where(sj_used, sjJ_, hqJ)
+            hDsrc = jnp.where(sj_used, sjDv, hqD)
+            hD = jnp.where(is_diag_d(hDsrc), I32(DIAG), I32(NEWD))
+            bad = n <= 2
+            hV = jnp.where(bad, nevv, hV)
+            hD = jnp.where(bad, zi, hD)
+            hJ = jnp.where(bad, zi, hJ)
+
+            # ---- vertical + frameshift deletions -------------------
+            c0 = gdep[0] + gapopen(gdep[2], gdep[3], 3)
+            c1 = f1[0] + jnp.where(is_vert_d(f1[1]), F32(gap_e1),
+                                   F32(gap_w1))
+            c2 = f2[0] + jnp.where(is_vert_d(f2[1]), F32(gap_e2),
+                                   F32(gap_w2))
+            c3 = f3[0] + gapopen(f3[2], f3[3], 3)
+            vk, vbest = sel_first_max([c0, c1, c2, c3])
+            srcD = selk([gdep[1], f1[1], f2[1], f3[1]], vk)
+            srcGB = selk([gdep[3], f1[2], f2[2], f3[3]], vk)
+            srcJ = selk([gdep[4], f1[3], f2[3], f3[4]], vk)
+            d3v = jnp.where(vk == 0, 3, vk)
+            gV = vbest + pua
+            gGA = zi
+            gGB = srcGB + d3v
+            gJ = srcJ
+            gD = jnp.where(vk == 1, I32(5),
+                           jnp.where(vk == 2, I32(6), I32(4))) \
+                | (srcD & SPIN)
+
+            # ---- horizontal + frameshift insertions ----------------
+            h3gop = gapopen(b3[2], b3[3], -3)
+            hc0 = jnp.where(n > 2, eqr[0], nevv)
+            hc3 = jnp.where(n > 2, b3[0] + h3gop, nevv)
+            hc2 = jnp.where(n > 1, b2[0]
+                            + jnp.where(is_hori_d(b2[1]), F32(gap_e2),
+                                        F32(gap_w2)), nevv)
+            hc1 = b1[0] + jnp.where(is_hori_d(b1[1]), F32(gap_e1),
+                                    F32(gap_w1))
+            hk, hbest = sel_first_max([hc0, hc1, hc2, hc3])
+            hsrcV = selk([eqr[0], b1[0], b2[0], b3[0]], hk)
+            hsrcD = selk([eqr[1], b1[1], b2[1], b3[1]], hk)
+            hsrcGA = selk([eqr[2], b1[2], b2[2], b3[2]], hk)
+            hsrcJ = selk([eqr[4], b1[3], b2[3], b3[4]], hk)
+            x = hbest - hsrcV + gep + sE
+            d3h = jnp.where(hk == 0, 3, hk)
+            neV = hsrcV + x
+            neGA = hsrcGA + d3h
+            neGB = zi
+            neJ = hsrcJ
+            spin = hsrcD & SPIN
+            neD = jnp.where(hk == 1, I32(9),
+                            jnp.where(hk == 2, I32(10),
+                                      I32(8))) | spin
+
+            # ---- running max ---------------------------------------
+            w = zi
+            mxV = hV
+            w = jnp.where(gV > mxV, I32(2), w)
+            mxV = jnp.maximum(gV, mxV)
+            w = jnp.where(neV >= mxV, I32(1), w)
+            mxV = jnp.maximum(neV, mxV)
+
+            # ---- 3' acceptor merges (per phase) --------------------
+            jx = [fb, fb, fb]
+            jdon = [zi, zi, zi, zi]
+            jcs0 = zi
+            jnb = [zi, zi, zi]
+            lvV = [hV, neV, gV]
+            sj_nV, sj_nJ, sj_nK = nevv, zi, zi
+            sj_set = fb
+            sj_clr = fb
+            p3 = rd(C_PHS3, 2).astype(I32)
+            has_acc = valid & internal & (n < N) & (p3 != -2)
+            nxt_aa = jnp.where(n + 1 < N, rd(C_TRN, 3),
+                               F32(float(ab.AMB)))
+            qp1_nxt = chain26(qp1_ref, nxt_aa)
+            api3 = [api_ref[0], api_ref[1], api_ref[2]]
+
+            for pi in range(2):
+                if pi == 0:
+                    phs = jnp.where(p3 == 2, I32(-1), p3)
+                    apm = has_acc
+                else:
+                    phs = jnp.full((SUB, LANE), 1, I32)
+                    apm = has_acc & (p3 == 2)
+                nb = n - phs
+                is_p1 = phs == 1
+                is_m1 = phs == -1
+
+                def rdv(col):
+                    return jnp.where(is_p1, rd(col, 1),
+                                     jnp.where(is_m1, rd(col, 3),
+                                               rd(col, 2)))
+
+                e3v = rdv(C_E3)
+                A2row = [rdv(C_A2 + k) for k in range(5)]
+                P53v = [rdv(C_P53 + k) for k in range(16)]
+                sigJ = jnp.where(is_p1, api3[0],
+                                 jnp.where(is_m1, api3[2], api3[1]))
+                lidx = jnp.clip(phs + 1, 0, 2)
+                laneV = [sel3(clV[0, s], clV[1, s], clV[2, s], lidx)
+                         for s in range(NSLOT)]
+                laneJ = [sel3(clJ[0, s], clJ[1, s], clJ[2, s], lidx)
+                         for s in range(NSLOT)]
+                laneD = [sel3(clD[0, s], clD[1, s], clD[2, s], lidx)
+                         for s in range(NSLOT)]
+                laneCS = [sel3(clCS[0, s], clCS[1, s], clCS[2, s],
+                               lidx) for s in range(NSLOT)]
+                laneR1 = [sel3(clR1[0, s], clR1[1, s], clR1[2, s],
+                               lidx) for s in range(NSLOT)]
+                laneD5 = [sel3(clD5[0, s], clD5[1, s], clD5[2, s],
+                               lidx) for s in range(NSLOT)]
+                # stored A1 row selected by the merge-side e3 class
+                # (slot level: e3v is candidate-independent)
+                laneA1e = [selk([sel3(clA1[0, s, c], clA1[1, s, c],
+                                      clA1[2, s, c], lidx)
+                                 for c in range(5)], e3v)
+                           for s in range(NSLOT)]
+                nxrow = [sel3(nxs[0, j], nxs[1, j], nxs[2, j], lidx)
+                         for j in range(NCAND_H)]
+                nc_li = sel3(ncand[0], ncand[1], ncand[2], lidx)
+
+                def take_rank(slots, rk):
+                    v = slots[0]
+                    for s in range(1, NSLOT):
+                        v = jnp.where(rk == s, slots[s], v)
+                    return v
+
+                cV = [take_rank(laneV, nxrow[k]) for k in
+                      range(NCAND_H)]
+                cJ = [take_rank(laneJ, nxrow[k]) for k in
+                      range(NCAND_H)]
+                cDl = [take_rank(laneD, nxrow[k]) for k in
+                       range(NCAND_H)]
+                cCS = [take_rank(laneCS, nxrow[k]) for k in
+                       range(NCAND_H)]
+                cR1 = [take_rank(laneR1, nxrow[k]) for k in
+                       range(NCAND_H)]
+                cD5 = [take_rank(laneD5, nxrow[k]) for k in
+                       range(NCAND_H)]
+                cA1 = [take_rank(laneA1e, nxrow[k]) for k in
+                       range(NCAND_H)]
+                act = [apm & (k < nc_li) for k in range(NCAND_H)]
+
+                xm = []
+                ys = []
+                for k in range(NCAND_H):
+                    xk = cV[k] + sigJ + pen_f(nb - cJ[k]) \
+                        + selk(P53v, cD5[k])
+                    aa1 = cA1[k]
+                    pm1 = jnp.where((aa1 == TRM) | (aa1 == TRM2),
+                                    F32(fO), F32(0.0))
+                    qa1 = chain26(qpm_ref, aa1)
+                    xk = xk + jnp.where((cDl[k] == 0) & is_p1,
+                                        pm1 + qa1, F32(0.0))
+                    aa2 = selk(A2row, cR1[k])
+                    pm2 = jnp.where((aa2 == TRM) | (aa2 == TRM2),
+                                    F32(fO), F32(0.0))
+                    qa2 = chain26(qp1_ref, aa2)
+                    xm.append(xk)
+                    ys.append(xk + pm2 + qa2)
+
+                # sj shadow: last qualifying rank wins
+                thr = mxV + qp1_nxt
+                any_sj = fb
+                for k in range(NCAND_H):
+                    q = act[k] & (cDl[k] == 0) & is_m1 & (ys[k] > thr)
+                    sj_nV = jnp.where(q, ys[k], sj_nV)
+                    sj_nK = jnp.where(q, cJ[k] + phs, sj_nK)
+                    any_sj = any_sj | q
+                sj_nJ = jnp.where(any_sj, nb, sj_nJ)
+                sj_set = sj_set | any_sj
+
+                merged0 = fb
+                for lane in range(3):
+                    inl = [act[k] & (cDl[k] == lane)
+                           for k in range(NCAND_H)]
+                    xmm = [jnp.where(inl[k], xm[k], nevv)
+                           for k in range(NCAND_H)]
+                    bk, bx = sel_first_max(xmm)
+                    anyin = inl[0]
+                    for k in range(1, NCAND_H):
+                        anyin = anyin | inl[k]
+                    better = anyin & (bx > lvV[lane])
+                    lvV[lane] = jnp.where(better, bx, lvV[lane])
+                    jx[lane] = jx[lane] | better
+                    bJ = selk(cJ, bk)
+                    jdon[lane] = jnp.where(better, bJ + phs,
+                                           jdon[lane])
+                    jnb[lane] = jnp.where(better, nb, jnb[lane])
+                    if lane == 0:
+                        bCS = selk(cCS, bk)
+                        jcs0 = jnp.where(better,
+                                         (bCS != 0).astype(I32), jcs0)
+                        merged0 = better
+                sj_clr = sj_clr | (apm & is_m1 & merged0)
+                mxV = selk(lvV, w)
+                for k2 in range(3):
+                    upd = jx[k2] & (lvV[k2] > mxV)
+                    w = jnp.where(upd, I32(k2), w)
+                    mxV = jnp.where(upd, lvV[k2], mxV)
+
+            hV, neV, gV = lvV
+            hD = jnp.where(jx[0], hD | SPJCI, hD)
+            hJ = jnp.where(jx[0], jnb[0], hJ)
+            neD = jnp.where(jx[1], neD | SPJCI, neD)
+            neJ = jnp.where(jx[1], jnb[1], neJ)
+            gD = jnp.where(jx[2], gD | SPJCI, gD)
+            gJ = jnp.where(jx[2], jnb[2], gJ)
+            sj_on = sj_set & (~sj_clr)
+
+            # ---- write the cell record -----------------------------
+            cVx = selk([hV, neV, gV], w)
+            cDx = selk([hD, neD, gD], w)
+            cGAx = selk([zi, neGA, gGA], w)
+            cGBx = selk([zi, neGB, gGB], w)
+            cJx = selk([hJ, neJ, gJ], w)
+
+            # ---- 5' donor pushes (per phase) -----------------------
+            p5 = rd(C_PHS5, 2).astype(I32)
+            has_don = valid & internal & (n < N) & (p5 != -2)
+            lvV2 = [cVx, neV, gV]
+            lvD2 = [cDx, neD, gD]
+            hd = d2n_of(cDx)
+            for pi in range(2):
+                if pi == 0:
+                    phs = jnp.where(p5 == 2, I32(-1), p5)
+                    dp = has_don
+                else:
+                    phs = jnp.full((SUB, LANE), 1, I32)
+                    dp = has_don & (p5 == 2)
+                nb = n - phs
+                is_p1 = phs == 1
+                is_m1 = phs == -1
+
+                def rdv(col):
+                    return jnp.where(is_p1, rd(col, 1),
+                                     jnp.where(is_m1, rd(col, 3),
+                                               rd(col, 2)))
+
+                sigJ = rdv(C_SIG5)
+                r1_nb = rdv(C_R1).astype(I32)
+                d5_nb = rdv(C_D5).astype(I32)
+                a1_nb = [rdv(C_A1 + c).astype(I32) for c in range(5)]
+                lidx = jnp.clip(phs + 1, 0, 2)
+                laneV = [sel3(clV[0, s], clV[1, s], clV[2, s], lidx)
+                         for s in range(NSLOT)]
+                laneJ = [sel3(clJ[0, s], clJ[1, s], clJ[2, s], lidx)
+                         for s in range(NSLOT)]
+                laneD = [sel3(clD[0, s], clD[1, s], clD[2, s], lidx)
+                         for s in range(NSLOT)]
+                laneCS = [sel3(clCS[0, s], clCS[1, s], clCS[2, s],
+                               lidx) for s in range(NSLOT)]
+                laneR1 = [sel3(clR1[0, s], clR1[1, s], clR1[2, s],
+                               lidx) for s in range(NSLOT)]
+                laneD5 = [sel3(clD5[0, s], clD5[1, s], clD5[2, s],
+                               lidx) for s in range(NSLOT)]
+                laneA1 = [[sel3(clA1[0, s, c], clA1[1, s, c],
+                                clA1[2, s, c], lidx)
+                           for c in range(5)] for s in range(NSLOT)]
+                nxrow = [sel3(nxs[0, j], nxs[1, j], nxs[2, j], lidx)
+                         for j in range(NSLOT)]
+                ncl = sel3(ncand[0], ncand[1], ncand[2], lidx)
+                touched = fb
+
+                def take_rank(slots, rk):
+                    v = slots[0]
+                    for s in range(1, NSLOT):
+                        v = jnp.where(rk == s, slots[s], v)
+                    return v
+
+                for k in range(3):
+                    crossspj = is_p1 if k == 0 else fb
+                    ok = dp
+                    if k == 0:
+                        ok = ok & ((hd == 0) | is_p1)
+                    fV = jnp.where(crossspj, hqV, lvV2[k]) \
+                        if k == 0 else lvV2[k]
+                    fD = jnp.where(crossspj, hqD, lvD2[k]) \
+                        if k == 0 else lvD2[k]
+                    ok = ok & (fD != 0) & ((fD & SPIN) == 0)
+                    thr_on = (~crossspj) & (hd >= 0) & (hd != k)
+                    gopk = F32(gop) if k == 2 else F32(0.0)
+                    y = mxV + jnp.where((hd == 0)
+                                        | (jnp.mod(k - hd, 2) != 0),
+                                        gopk, F32(0.0))
+                    ok = ok & ((~thr_on) | (fV > y))
+                    xp = fV + sigJ
+                    nc1 = jnp.minimum(ncl + 1, NCAND_H)
+                    l_start = jnp.where(ncl < NCAND_H, ncl + 1,
+                                        I32(NCAND_H))
+                    vals = [take_rank(laneV, nxrow[j])
+                            for j in range(NSLOT)]
+                    pos = zi
+                    for j in range(NSLOT):
+                        pos = pos + ((j < l_start)
+                                     & (vals[j] >= xp)).astype(I32)
+                    at_ls = selk(nxrow, l_start)
+                    shifted = [nxrow[0]] + nxrow[:-1]
+                    new_nx = [
+                        jnp.where(j < pos, nxrow[j],
+                                  jnp.where(j == pos, at_ls,
+                                            jnp.where(j <= l_start,
+                                                      shifted[j],
+                                                      nxrow[j])))
+                        for j in range(NSLOT)]
+                    accept = ok & (pos < INTR)
+                    csv = is_p1.astype(I32) if k == 0 else zi
+                    for s in range(NSLOT):
+                        msk = accept & (at_ls == s)
+                        laneV[s] = jnp.where(msk, xp, laneV[s])
+                        laneJ[s] = jnp.where(msk, nb, laneJ[s])
+                        laneD[s] = jnp.where(msk, I32(k), laneD[s])
+                        laneCS[s] = jnp.where(msk, csv, laneCS[s])
+                        laneR1[s] = jnp.where(msk, r1_nb, laneR1[s])
+                        laneD5[s] = jnp.where(msk, d5_nb, laneD5[s])
+                        for c in range(5):
+                            laneA1[s][c] = jnp.where(msk, a1_nb[c],
+                                                     laneA1[s][c])
+                    nxrow = [jnp.where(ok, new_nx[j], nxrow[j])
+                             for j in range(NSLOT)]
+                    ncl = jnp.where(ok, jnp.where(accept, nc1,
+                                                  nc1 - 1), ncl)
+                    touched = touched | ok
+
+                for l in range(3):
+                    wb = (lidx == l) & touched
+                    for s in range(NSLOT):
+                        clV[l, s] = jnp.where(wb, laneV[s],
+                                              clV[l, s])
+                        clJ[l, s] = jnp.where(wb, laneJ[s],
+                                              clJ[l, s])
+                        clD[l, s] = jnp.where(wb, laneD[s],
+                                              clD[l, s])
+                        clCS[l, s] = jnp.where(wb, laneCS[s],
+                                               clCS[l, s])
+                        clR1[l, s] = jnp.where(wb, laneR1[s],
+                                               clR1[l, s])
+                        clD5[l, s] = jnp.where(wb, laneD5[s],
+                                               clD5[l, s])
+                        for c in range(5):
+                            clA1[l, s, c] = jnp.where(
+                                wb, laneA1[s][c], clA1[l, s, c])
+                        nxs[l, s] = jnp.where(wb, nxrow[s],
+                                              nxs[l, s])
+                    ncand[l] = jnp.where(wb, ncl, ncand[l])
+
+            # ---- event planes --------------------------------------
+            ev = (w | jnp.where(sj_used, EVH_SJ, 0)
+                  | (vk << 3) | (hk << 5)
+                  | jnp.where(jx[0], EVH_JXH, 0)
+                  | jnp.where(jx[1], EVH_JXF, 0)
+                  | jnp.where(jx[2], EVH_JXG, 0)
+                  | jnp.where(jcs0 != 0, EVH_CSH, 0))
+            ev = jnp.where(valid, ev, I32(-1))
+            jdon[3] = jnp.where(sj_used, sjK_, zi)
+
+            ev_ref[i] = ev
+            vo_ref[i] = cVx
+            do_ref[i] = cDx
+            for k in range(4):
+                jd_ref[i, k] = jdon[k]
+
+            # ---- ring writes ---------------------------------------
+            newH = (cVx, cDx, cGAx, cGBx, cJx)
+            for fi, (ref, val) in enumerate(zip(
+                    (HV, HD, HGA, HGB, HJ), newH)):
+                ref[s6, 0] = val
+                ref[s6, 1] = shd(val)
+            for ref, val in zip((NeV, NeD, NeGA, NeGB, NeJ),
+                                (neV, neD, neGA, neGB, neJ)):
+                ref[s3] = val
+            for ref, val in zip((GVs, GDs, GGAs, GGBs, GJs),
+                                (gV, gD, gGA, gGB, gJ)):
+                ref[s3] = shd(val)
+            SJVs[s6] = shd(jnp.where(sj_on, sj_nV, nevv))
+            SJDs[s6] = shd(jnp.where(sj_on, I32(NEWD), zi))
+            SJJs[s6] = shd(jnp.where(sj_on, sj_nJ, zi))
+            SJKs[s6] = shd(jnp.where(sj_on, sj_nK, zi))
+            return 0
+
+        jax.lax.fori_loop(0, CH, wave, 0)
+
+    return kernel
+
+
+# --------------------------------------------------------------------
+# launcher
+# --------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _build_launcher(M, N, lw, up, a_exgr, prm, pen, OFF, PADQ, LL,
+                    r0_max, t_min, T, QF, QL, QR, e1pre_t, interpret):
+    kern = _make_kernel(M=M, N=N, lw=lw, up=up, a_exgr=a_exgr, prm=prm,
+                        pen=pen, OFF=OFF, PADQ=PADQ, LL=LL,
+                        r0_max=r0_max, t_min=t_min, QF=QF, QL=QL,
+                        QR=QR, e1pre_t=e1pre_t)
+    G = (T + CH - 1) // CH
+    TP = G * CH
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda g: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((TP, SUB, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((TP, 4, SUB, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((TP, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((TP, SUB, LANE), jnp.int32),
+        ),
+        grid=(G,),
+        in_specs=[
+            full((NCOL, 3, QF, 128)),
+            full((5, 6, QL, 128)),
+            full((5, QR, 128)),
+            full((tron.TSIMD, SUB, 128)),
+            full((tron.TSIMD, SUB, 128)),
+            full((3, SUB, 128)),
+            pl.BlockSpec((1, 8), lambda g: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((CH, SUB, LANE), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, 4, SUB, LANE), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, SUB, LANE), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CH, SUB, LANE), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((6, 2, SUB, LANE), jnp.float32)]
+            + [pltpu.VMEM((6, 2, SUB, LANE), jnp.int32)] * 4
+            + [pltpu.VMEM((3, SUB, LANE), jnp.float32)]
+            + [pltpu.VMEM((3, SUB, LANE), jnp.int32)] * 4
+            + [pltpu.VMEM((3, SUB, LANE), jnp.float32)]
+            + [pltpu.VMEM((3, SUB, LANE), jnp.int32)] * 4
+            + [pltpu.VMEM((6, SUB, LANE), jnp.float32)]
+            + [pltpu.VMEM((6, SUB, LANE), jnp.int32)] * 3
+            + [pltpu.VMEM((3, NSLOT, SUB, LANE), jnp.float32)]
+            + [pltpu.VMEM((3, NSLOT, SUB, LANE), jnp.int32)] * 5
+            + [pltpu.VMEM((3, NSLOT, 5, SUB, LANE), jnp.int32)]
+            + [pltpu.VMEM((3, NSLOT, SUB, LANE), jnp.int32)]
+            + [pltpu.VMEM((3, SUB, LANE), jnp.int32)]
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=bool(interpret),
+    )
+
+    MR = M + 1
+    W = up - lw + 1
+
+    @jax.jit
+    def run(TF, L6, R0, QPM, QP1, API, E1, H0V, H0D):
+        ev, jd, Vw, Dw = call(TF, L6, R0, QPM, QP1, API, E1)
+        ev2 = ev.reshape(TP, MRP)[:T, :MR].astype(jnp.int16)
+        Vw2 = Vw.reshape(TP, MRP)
+        Dw2 = Dw.reshape(TP, MRP)
+        # final band arrays from the per-wave planes (scan epilogue,
+        # spliced_h_jax._sweep_h)
+        r_sl = jnp.arange(-3, W + 3, dtype=I32) + lw
+        m_last = jnp.minimum(M, jnp.where(N >= r_sl, (N - r_sl) // 3,
+                                          -1)).astype(I32)
+        m_first = jnp.maximum(1, jnp.where(r_sl >= 1, 1,
+                                           (1 - r_sl + 2) // 3))
+        touched = (m_last >= m_first) & (r_sl >= lw) & (r_sl <= up)
+        tw = jnp.clip(6 * m_last + r_sl - t_min, 0, T - 1)
+        mc_ = jnp.clip(m_last, 0, MRP - 1)
+        bandV = jnp.where(touched, Vw2[tw, mc_], H0V)
+        bandD = jnp.where(touched, Dw2[tw, mc_], H0D)
+        return bandV, bandD, ev2, jd
+
+    return run
+
+
+class _JdView:
+    """Walker-facing view of the (T, 4, SUB, LANE) junction planes:
+    jd[ti, m] -> np (4,) row, fetched lazily (only junction/sj events
+    touch it)."""
+
+    def __init__(self, jd):
+        self._jd = jd
+
+    def __getitem__(self, key):
+        ti, m = key
+        return np.asarray(self._jd[ti, :, m // LANE, m % LANE])
+
+
+def sweep_h_pallas(M, N, lw, up, a_exg, b_exg, lcl, H0np, qprof, b,
+                   exin, ipen, prm, api_arr, e1pre, e1pre_t):
+    """Pallas forwardH sweep.  Same contract as
+    spliced_h_jax._sweep_h but takes host-side numpy inputs; returns
+    (bandV, bandD, evs(int16 (T, MR)), jd view, t_min)."""
+    a_exgl, a_exgr = a_exg
+    t_min = 3 + max(3 + lw, 1)
+    t_max = 3 * M + min(3 * M + up, N)
+    T = t_max - t_min + 1
+    assert M + 1 <= MRP, "protein longer than the (8,128) row layout"
+
+    pk = _pack_host(M, N, lw, up, b, exin, qprof, api_arr, H0np,
+                    t_max)
+    prmk = (float(prm.gop), float(prm.gep), float(prm.gap_e1),
+            float(prm.gap_e2), float(prm.gap_w1), float(prm.gap_w2),
+            float(prm.gap_w3), float(prm.fO))
+    fYc, ipc, comps = ipen.closed
+    penk = (float(ipen.llmt), float(ipen.rlmt), float(ipen.mu),
+            float(ipen.int_ep), float(ipen.int_fx),
+            float(ipen.gap_wi), float(fYc), float(ipc), comps)
+    interpret = jax.default_backend() != "tpu"
+    run = _build_launcher(M, N, int(lw), int(up), bool(a_exgr), prmk,
+                          penk, pk["OFF"], pk["PADQ"], pk["LL"],
+                          pk["r0_max"], t_min, T, pk["QF"], pk["QL"],
+                          pk["QR"], int(e1pre_t), interpret)
+    E1 = np.zeros((1, 8), np.float32)
+    if e1pre is not None:
+        E1[0, :5] = np.asarray(e1pre, np.float32)
+    bandV, bandD, ev2, jd = run(
+        pk["TF"], pk["L6"], pk["R0"], pk["QPM"], pk["QP1"],
+        pk["API"], E1, np.asarray(H0np["V"], np.float32),
+        np.asarray(H0np["D"], np.int32))
+    return bandV, bandD, ev2, _JdView(jd), t_min

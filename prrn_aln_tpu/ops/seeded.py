@@ -117,16 +117,6 @@ def chain_hsps(hsps: list[Hsp], gap_cost: float = 0.2) -> list[Hsp]:
     return chain
 
 
-def _sub_align(A: Msa, B: Msa, mtx, u, v, sh):
-    """Banded sub-DP on a piece; empty sides degenerate to pure gaps."""
-    La, Lb = A.length, B.length
-    if La == 0 and Lb == 0:
-        return 0.0, []
-    wdw = stripe(max(La, 1), max(Lb, 1), sh)
-    s, skl = gops.group_align(A, B, mtx, u=u, v=v, wdw=wdw)
-    return s, skl
-
-
 def _sub_msa(m: Msa, lo: int, hi: int, dim: int) -> Msa:
     sub = Msa(codes=m.codes[:, lo:hi], molc=m.molc, names=list(m.names))
     sub.prepare(dim)
@@ -190,7 +180,7 @@ def seeded_align(A: Msa, B: Msa, mtx, u: float, v: float,
             moves.extend([HORI_MV] * (eb - pb))
         elif ea > pa:               # pure deletion (gap in b)
             score += -(v + u * (ea - pa))
-            moves.extend([VERT_MV] * (ea - pb if False else ea - pa))
+            moves.extend([VERT_MV] * (ea - pa))
         if h is not None:
             # anchor interior: exact diagonal, matrix diagonal scores
             seg = a[h.ai:h.ai + h.length]

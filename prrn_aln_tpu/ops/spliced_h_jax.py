@@ -884,6 +884,7 @@ def forward_h_device(qprof, b, exin, ipen, prm, lw, up,
             m += 1
 
     # ---------------- device sweep -------------------------------------
+    import os
     if api is not None and not isinstance(api, np.ndarray):
         api_arr = np.array([float(api(pt)) for pt in range(3 * M + 4)],
                            np.float32)
@@ -891,6 +892,48 @@ def forward_h_device(qprof, b, exin, ipen, prm, lw, up,
         api_arr = np.asarray(api, np.float32)
     else:
         api_arr = np.zeros(3 * M + 4, np.float32)
+
+    # Pallas wave kernel (ops/pallas_spliced_h): resident sweep with
+    # no per-wave XLA dispatch.  Default on TPU; PRRN_H_PALLAS=1
+    # forces it (interpret mode) on CPU, =0 forces the scan engine.
+    _pal = os.environ.get("PRRN_H_PALLAS", "auto")
+    use_pallas = (M + 1 <= 1024 and
+                  (_pal == "1" or
+                   (_pal != "0" and jax.default_backend() == "tpu")))
+    if use_pallas:
+        from .pallas_spliced_h import sweep_h_pallas
+        H0np = dict(V=HV, D=HD, GA=HGA, GB=HGB, J=HJ)
+        if not b_exgl:
+            n1_ = 3 + lw
+            n0_ = max(n1_ - 1, 0)
+            r_pre = n0_ + 1 - 3
+            s_pre = min(max(r_pre - lw + 3, 0), W + 5)
+            e1pre = (prm.gap_w3, HD[s_pre], HGA[s_pre], HGB[s_pre],
+                     HJ[s_pre])
+            e1pre_t = int(max(n0_ + 1, 1) + 2 + 3)
+        else:
+            e1pre, e1pre_t = None, -1
+        import time as _time
+        _dbg = os.environ.get("PRRN_H_TIME")
+        _t0 = _time.time()
+        bandV, bandD, evs_d, jdons, t_min = sweep_h_pallas(
+            M, N, lw, up, exga, exgb, lcl, H0np, qprof, b, exin,
+            ipen, prm, api_arr, e1pre, e1pre_t)
+        if _dbg:
+            jax.block_until_ready(bandV)
+            print("  pallas sweep: %.2fs" % (_time.time() - _t0),
+                  flush=True)
+            _t0 = _time.time()
+        fHV = np.asarray(bandV).astype(np.float64)
+        fHD = np.asarray(bandD)
+        evs = np.asarray(evs_d)
+        if _dbg:
+            print("  fetch (%.1f MB): %.2fs"
+                  % (evs.nbytes / 1e6, _time.time() - _t0),
+                  flush=True)
+        return _finish_h(fHV, fHD, evs, jdons, t_min, M, N, lw, up,
+                         exga, exgb, lcl, exin, prm, init0_k, initc,
+                         idx, W)
 
     A1, A2, e3idx, r1idx = _codon_tables(b)
     pack = dict(
@@ -936,9 +979,22 @@ def forward_h_device(qprof, b, exin, ipen, prm, lw, up,
               % (evs.nbytes / 1e6, _time.time() - _t0), flush=True)
         _t0 = _time.time()
 
-    if _dbg:
-        _t0 = _time.time()
-    # ---------------- lastH on host (fwd2h.h:203-268) -------------------
+    return _finish_h(fHV, fHD, evs, jdons, t_min, M, N, lw, up,
+                     (a_exgl, a_exgr), (b_exgl, b_exgr), lcl, exin,
+                     prm, init0_k, initc, idx, W)
+
+
+def _finish_h(fHV, fHD, evs, jdons, t_min, M, N, lw, up, exga, exgb,
+              lcl, exin, prm, init0_k, initc, idx, W):
+    """Host lastH (fwd2h.h:203-268) + traceback walk over the fetched
+    event planes; shared by the scan and Pallas sweep engines."""
+    import os
+    import time as _time
+    a_exgl, a_exgr = exga
+    b_exgl, b_exgr = exgb
+    _dbg = os.environ.get("PRRN_H_TIME")
+    _t0 = _time.time()
+
     def sigT_at(nn):
         if exin.sigT is not None and 0 <= nn < N:
             return float(exin.sigT[nn])

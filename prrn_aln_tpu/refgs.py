@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import sys
+
 import numpy as np
 
 from . import alphabet as ab
@@ -122,12 +124,13 @@ def refgs_family(records: list[SeqRecord], genome_of, iters: int = 1,
                     and rec.seq.replace("-", "") == aa:
                 status[rec.name] = "ok"
                 if not quiet:
-                    print(f"{rec.name}\tis OK")
+                    print(f"{rec.name}\tis OK", file=sys.stderr)
             else:
                 status[rec.name] = "changed"
                 changed = True
                 if not quiet:
-                    print(f"{rec.name}\trevised: {new_exons}")
+                    print(f"{rec.name}\trevised: {new_exons}",
+                          file=sys.stderr)
                 recs[i] = dataclasses.replace(rec, seq=aa,
                                               exons=new_exons, eij=None)
         if not changed:

@@ -661,12 +661,29 @@ def spliced_alignment_text_h(gs: GeneStructure, knots, genome: str,
                             continue
                         bg = marks.get((i, ppos[j]))
                         if bg is not None:
-                            cells[j - z] = (f"\x1b[37;{bg};1m"
-                                            f"{cells[j - z]}\x1b[0m")
+                            if markeij == 2:
+                                # HTML variant (-ph, iolib.cc:769-791)
+                                col = {41: "red", 42: "green",
+                                       44: "blue"}[bg]
+                                cells[j - z] = (
+                                    '<b><font color="white" '
+                                    'style="background-color:'
+                                    f'{col}">{cells[j - z]}'
+                                    "</font></b>")
+                            else:
+                                cells[j - z] = (f"\x1b[37;{bg};1m"
+                                                f"{cells[j - z]}"
+                                                "\x1b[0m")
                 pseg = "".join(cells)
                 pad = lpw - min(z + lpw, ncol) + z
                 text += "%8d %s| %s\n" % (qnum, pseg + " " * pad,
                                            msa.names[i])
         z += lpw
     text += "\n\n"
+    if markeij == 2:
+        # -ph wraps the whole printout like the reference's
+        # HtmlCharCtl (iolib.cc:769-791)
+        text = (f"<html>\n<head>\n<title>Prrn: {dispname}</title>\n"
+                "</head>\n<body>\n<p>\n<pre>\n" + text
+                + "</pre>\n</p>\n</body>\n")
     return text

@@ -48,6 +48,11 @@ class IntronPenalty:
     avr_sig: float
     minl: int
     mode: int
+    # closed-form parameters of the table region (Frechet mixture;
+    # codepot.cc IntronPenalty ctor): (fY, int_pen,
+    # ((a1,m1,t1,k1), (a2_,m2,t2,k2), (a3,m3,t3,k3))) -- lets device
+    # kernels evaluate Penalty(n) without a table gather
+    closed: tuple = ()
 
     @classmethod
     def build(cls, f: float = 1.0, y: float = 4.0, sss: float = 0.5,
@@ -105,8 +110,12 @@ class IntronPenalty:
             mu, kk = int(m1), k1
         int_ep = -(kk + 1.0) * fY / math.log(10.0)
         int_fx = table[-1] - int_ep * math.log(rlmt - mu)
+        closed = (float(fY), float(int_pen),
+                  ((float(a1), float(m1), float(t1), float(k1)),
+                   (float(a2_), float(m2), float(t2), float(k2)),
+                   (float(a3), float(m3), float(t3), float(k3))))
         return cls(table, llmt, rlmt, mu, int_ep, int_fx, gap_wi,
-                   avr_sig, minl, mode)
+                   avr_sig, minl, mode, closed)
 
     def penalty(self, n: int) -> float:
         """Reference IntronPenalty::Penalty(int)."""
