@@ -572,7 +572,36 @@ def aln_main(argv=None) -> int:
     merged = merge_msas(A, B, skl)
     print(f"; Score = {score:.1f}"
           + (f" (strand {strand})" if args.M else ""), file=sys.stderr)
-    _out(merged, args.F, args.o)
+    if args.F not in ("fasta", "clustal"):
+        # reference group-pair framing (sqpr.cc:1133-1196 print2):
+        # 3-slot header, matrix params, FSTAT Score line, ALIGNMENT
+        from .msa.merge import group_pair_fstat
+        fst = group_pair_fstat(merged.codes, A.many, ab.GAP)
+        tscr = score / fst["vab"]
+        denom = fst["mch"] + fst["mmc"] + fst["unp"]
+        pct = 100.0 * fst["mch"] / denom if denom else 0.0
+        hdr = [
+            "",
+            f">{A.names[0]} [{A.many}:{A.length}]  ( 1 - {A.length} )"
+            f" - >{B.names[0]} [{B.many}:{B.length}]"
+            f"  ( 1 - {B.length} ) - > [0:0]  ( 1 - 0 )",
+            "PAM = %d, BIAS = 0.0, u = %.1f, v = %.1f"
+            % (params.pam, params.u, params.v),
+            "Score = %5.1f (%5.1f), %.1f (=), %.1f (#), %.1f (g), "
+            "%.1f (u), (%5.2f %%)"
+            % (score, tscr, fst["mch"], fst["mmc"], fst["gap"],
+               fst["unp"], pct),
+            "ALIGNMENT   1 / 1",
+        ]
+        text = io.write_native_block(merged, header_lines=hdr,
+                                     trailer="\n\n")
+        if args.o:
+            from pathlib import Path
+            Path(args.o).write_text(text)
+        else:
+            sys.stdout.write(text)
+    else:
+        _out(merged, args.F, args.o)
     return 0
 
 

@@ -366,7 +366,8 @@ def _csym_row(msa: Msa, start: int, width: int) -> str:
 
 
 def write_native_block(msa: Msa, path=None, width: int = 60,
-                       markeij: int = 0) -> str:
+                       markeij: int = 0, header_lines=None,
+                       trailer: str = "") -> str:
     """Reference-style block output: header, then 60-column blocks with
     1-based residue start positions and '| name' trailers
     (sqpr.cc native print mode).  ``markeij=1`` colors intron-position
@@ -378,7 +379,11 @@ def write_native_block(msa: Msa, path=None, width: int = 60,
     pos = [1] * msa.many
     first = msa.names[0] if msa.names else "msa"
     marks = (_eij_marks(msa) if markeij and msa.eij is not None else {})
-    if markeij:
+    if header_lines is not None:
+        # caller-framed output (e.g. the aln group-pair print2 header,
+        # sqpr.cc:1133-1196)
+        out = list(header_lines) + [""]
+    elif markeij:
         out = [f">{first}", ""]
     else:
         out = ["",
@@ -414,7 +419,7 @@ def write_native_block(msa: Msa, path=None, width: int = 60,
         out.append("")
     if out and out[-1] == "" and msa.many > 2:
         out.pop()                     # reference ends after the last row
-    text = "\n".join(out) + "\n"
+    text = "\n".join(out) + "\n" + trailer
     if markeij == 2:
         text = (f"<html>\n<head>\n<title>Prrn: {first}</title>\n"
                 "</head>\n"

@@ -40,3 +40,41 @@ def merge_msas(A: Msa, B: Msa, skl) -> Msa:
         eij = list(A.eij or [None] * A.many) + list(B.eij or [None] * B.many)
     return Msa(codes=out, molc=A.molc, names=names, weight=weight,
                tgapf=A.tgapf, eij=eij)
+
+
+def group_pair_fstat(codes, an: int, gap: int):
+    """Cross-group FSTAT of a merged two-group alignment: weighted-pair
+    identity statistics the reference prints on its `Score =` line
+    (maln2.cc stt22i per-column counts, fspscore.cc newgap opens,
+    PwdM::rescale normalization by Vab = an*bn).
+
+    codes: (an+bn, L) merged rows; returns dict with mch/mmc/unp/gap
+    (already divided by Vab) and vab."""
+    import numpy as np
+    A = codes[:an]
+    B = codes[an:]
+    bn = B.shape[0]
+    resA = A > gap
+    resB = B > gap
+    gapA = ~resA
+    gapB = ~resB
+    # column-pair counts (stt22i): for each non-gap b residue, compare
+    # against every a row; one-sided gaps count as unpaired
+    eq = A[:, None, :] == B[None, :, :]
+    mch = float((eq & resB[None, :, :] & resA[:, None, :]).sum())
+    mmc = float(((~eq) & resB[None, :, :] & resA[:, None, :]).sum())
+    unp = float((gapA[:, None, :] & resB[None, :, :]).sum()
+                + (resA[:, None, :] & gapB[None, :, :]).sum())
+    # gap opens per cross pair on the pair-projected alignment
+    opens = 0
+    for i in range(an):
+        for j in range(bn):
+            keep = resA[i] | resB[j]
+            sa = gapA[i][keep]
+            sb = gapB[j][keep]
+            for s in (sa, sb):
+                if len(s):
+                    opens += int(s[0]) + int((s[1:] & ~s[:-1]).sum())
+    vab = an * bn
+    return dict(mch=mch / vab, mmc=mmc / vab, unp=unp / vab,
+                gap=float(opens) / vab, vab=vab)

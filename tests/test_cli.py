@@ -38,9 +38,10 @@ def test_aln_group_merge_matches_reference(tmp_path, capsys):
         paths.append(str(p))
     out = tmp_path / "out.txt"
     assert aln_main([*paths, "-o", str(out)]) == 0
-    golden = _golden_rows("golden_aln_multiAB.txt")
-    mine = _golden_rows(str(out))
-    assert mine == golden
+    # full-file byte parity: header, PAM/FSTAT framing, consensus
+    # rows, trailer (sqpr.cc:1133-1196 print2)
+    assert out.read_text() == (FIX / "golden_aln_multiAB.txt") \
+        .read_text()
 
 
 def test_prrn_cli_runs(tmp_path):
