@@ -333,6 +333,178 @@ def _launch(S, prm, *, La_p, Wp, Np, lw0, interpret=False):
     )(prm, S)
 
 
+def _kernel_rows_fused(prm_ref, p_ref, bw_ref, out_ref,
+                       h_ref, g_ref, last_ref, bc_ref, s_scr,
+                       *, K, La_p, Wp, WW, nrb, lw0, G, dim):
+    """Grid step (b, d) with the substitution image built IN-KERNEL:
+    one (32, K) x (32, WW) MXU contraction per pair over the window of
+    genome columns this row block can touch (round-5 fix for the
+    sequential 3.6 ms S einsum + 537 MB HBM S round trip).
+
+    p_ref block: (1, G, 32, K) profile rows P[c, m] = mtx[a[m], c]
+    (rows d*K..d*K+K-1); bw_ref block: (1, 1, G, WW) b codes of the
+    window starting at column d*K + lw0 (out-of-range positions carry
+    the all-zero one-hot code).  Band packing is a free diagonal
+    slice: lane j of row i reads window column i + j.
+    """
+    d = pl.program_id(1)
+
+    def plane(k):
+        return prm_ref[0, k, :, 0:1]
+
+    la = plane(0)
+    lb = plane(1)
+    u = plane(2)
+    v = plane(3)
+    fa_l = plane(4)
+    fb_l = plane(5)
+    fa_r = plane(6)
+    fb_r = plane(7)
+    lw = plane(8)
+    up = plane(9)
+
+    j_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (G, Wp), 1).astype(jnp.float32)
+    neg = j_iota * 0.0 + NEVSEL
+    ju = j_iota * u
+    jband = (lw0 + j_iota >= lw) & (lw0 + j_iota <= up)
+
+    @pl.when(d == 0)
+    def _init():
+        nv = lw0 - 1.0 + j_iota
+        slot_ok = (nv + 1.0 >= lw) & (nv + 1.0 <= up)
+        hinit = jnp.where(nv == -1.0, 0.0,
+                          jnp.where((nv >= 0.0) & slot_ok,
+                                    -(v + (nv + 1.0) * u) * fa_l,
+                                    NEG_SENT))
+        h_ref[...] = hinit
+        g_ref[...] = neg
+        last_ref[...] = neg
+        bc_ref[...] = neg
+
+    # in-kernel S build: one small MXU contraction per pair
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (32, WW), 0)
+    for g in range(G):
+        oh = (bw_ref[0, 0, g, :][None, :] == c_iota).astype(jnp.float32)
+        s_scr[g] = jax.lax.dot_general(
+            p_ref[0, g], oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def row(i, carry):
+        H, Gv, LR, BC = carry
+        mf = (d * K + i).astype(jnp.float32)
+        s_row = s_scr[:, i, i:i + Wp]
+        n_vec = mf + lw0 + j_iota
+        colb = -(v + (mf + 1.0) * u) * fb_l
+        colb_ok = mf < -lw
+
+        Hs = _shift_left1(H, NEG_SENT, j_iota, Wp)
+        Gs = _shift_left1(Gv, NEVSEL, j_iota, Wp)
+        G0 = jnp.maximum(Hs - v, Gs) - u
+        D0 = H + s_row
+        X = jnp.maximum(D0, G0)
+        # rows past la propagated NEG via the masked S image before;
+        # mask X directly now that S is unmasked
+        X = jnp.where(mf < la, X, NEG_SENT)
+        valid = (n_vec >= 0.0) & (n_vec < lb) & jband
+        virt = (n_vec == -1.0) & colb_ok
+
+        C = (_shift_right1(X, NEG_SENT, j_iota) - v) - u
+        C = jnp.where((n_vec == 0.0) & colb_ok, (colb - v) - u, C)
+        M = _cummax_2l(C + ju, Wp)
+        E = M - ju
+        H0 = jnp.maximum(X, E)
+        H0 = jnp.where(valid, H0, jnp.where(virt, colb + 0.0 * j_iota,
+                                            NEG_SENT))
+
+        LR = jnp.where(mf == la - 1.0, H0, LR)
+        kb = la - 1.0 - mf
+        cand = jnp.where((n_vec == lb - 1.0) & (kb > 0.0),
+                         H0 - (v + kb * u) * fb_r, neg)
+        BC = jnp.maximum(BC, cand)
+        return H0, G0, LR, BC
+
+    carry = (h_ref[...], g_ref[...], last_ref[...], bc_ref[...])
+    for i in range(K):
+        carry = row(i, carry)
+    H, Gv, LR, BC = carry
+    h_ref[...] = H
+    g_ref[...] = Gv
+    last_ref[...] = LR
+    bc_ref[...] = BC
+
+    @pl.when(d == nrb - 1)
+    def _finish():
+        n_last = (la - 1.0) + lw0 + j_iota
+        corner = jnp.max(jnp.where(n_last == lb - 1.0, LR, NEVSEL),
+                         axis=1, keepdims=True)
+        kfb = lb - 1.0 - n_last
+        cand_row = jnp.where((kfb > 0.0) & (n_last >= 0.0),
+                             LR - (v + kfb * u) * fa_r, NEVSEL)
+        best_row = jnp.max(cand_row, axis=1, keepdims=True)
+        best_col = jnp.max(BC, axis=1, keepdims=True)
+        score = corner
+        score = jnp.where(fa_r < 1.0, jnp.maximum(score, best_row), score)
+        score = jnp.where(fb_r < 1.0, jnp.maximum(score, best_col), score)
+        out_ref[0, :, :] = jnp.broadcast_to(score, (G, 128))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("La_p", "Wp", "dim", "lw0",
+                                    "interpret"))
+def _prepare_and_launch_fused(a_batch, b_batch, prm, mtx, *, La_p, Wp,
+                              dim, lw0, interpret=False):
+    """Fused S-build launch: ships P = mtx rows by a-codes (transposed,
+    (BG, G, 32, La_p)) and the per-block b-code windows instead of the
+    O(La*Np) substitution image."""
+    Bp, Ma = a_batch.shape
+    Mb = b_batch.shape[1]
+    g = prm.shape[2]
+    BG = Bp // g
+    K = min(64, La_p)
+    nrb = La_p // K
+    WW = _pad_to(Wp + K, 128)
+    mtx32 = jnp.zeros((64, 32), jnp.float32).at[:dim, :dim].set(
+        mtx.astype(jnp.float32))
+    a_pad = jnp.pad(a_batch, ((0, 0), (0, La_p - Ma)),
+                    constant_values=dim)
+    P = mtx32[a_pad].transpose(0, 2, 1).reshape(BG, g, 32, La_p)
+    # b windows per row block: column d*K + lw0 + w (out-of-range -> 32,
+    # whose one-hot row of mtx32 is zero)
+    PADW = K + max(0, -lw0) + 8
+    bwide = jnp.full((Bp, PADW + Mb + WW + La_p), 32, jnp.int32)
+    bwide = jax.lax.dynamic_update_slice(bwide, b_batch.astype(jnp.int32),
+                                         (0, PADW))
+    widx = (PADW + lw0 + K * jnp.arange(nrb)[:, None]
+            + jnp.arange(WW)[None, :])
+    bwin = bwide[:, widx].reshape(BG, g, nrb, WW).transpose(0, 2, 1, 3)
+
+    kern = functools.partial(_kernel_rows_fused, K=K, La_p=La_p, Wp=Wp,
+                             WW=WW, nrb=nrb, lw0=lw0, G=g, dim=dim)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((BG, g, 128), jnp.float32),
+        grid=(BG, nrb),
+        in_specs=[
+            pl.BlockSpec((1, NPLANE, g, 128), lambda b, d: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, 32, K), lambda b, d: (b, 0, 0, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, WW), lambda b, d: (b, d, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, 128), lambda b, d: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((g, Wp), jnp.float32)
+                        for _ in range(4)]
+        + [pltpu.VMEM((g, K, WW), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(prm, P, bwin)
+
+
 def pallas_pairwise_scores(a_batch, b_batch, la, lb, mtx,
                            u: float, v: float, tgapf: float = 1.0,
                            exg=None, lw=None, up=None):
@@ -384,7 +556,10 @@ def pallas_pairwise_scores(a_batch, b_batch, la, lb, mtx,
         planes.reshape(Bp // grp, grp, NPLANE, 1).transpose(0, 2, 1, 3),
         (Bp // grp, NPLANE, grp, 128)).copy()
 
-    out = _prepare_and_launch(a_batch, b_batch, prm, mtx,
-                              La_p=La_p, Wp=Wp, dim=dim, lw0=lw0,
-                              interpret=jax.default_backend() != "tpu")
+    import os
+    fused = os.environ.get("PRRN_PW_FUSED", "1") != "0" and dim <= 32
+    launch = _prepare_and_launch_fused if fused else _prepare_and_launch
+    out = launch(a_batch, b_batch, prm, mtx,
+                 La_p=La_p, Wp=Wp, dim=dim, lw0=lw0,
+                 interpret=jax.default_backend() != "tpu")
     return out.reshape(Bp, 128)[:B, 0]
