@@ -157,11 +157,16 @@ def main():
     interp = jax.default_backend() != "tpu"
     kw = dict(La_p=L, Wp=Wp, dim=mtx.shape[0], lw0=lw0, interpret=interp)
 
+    import os
+    _fused = os.environ.get("PRRN_PW_FUSED", "0") == "1"
+    _launch = (pp._prepare_and_launch_fused if _fused
+               else pp._prepare_and_launch)
+
     @jax.jit
     def many(Ad, Bd):
         def body(carry, ab):
             a, b = ab
-            out = pp._prepare_and_launch(a, b, prmd, mtxd, **kw)
+            out = _launch(a, b, prmd, mtxd, **kw)
             return carry, out[:, :, 0]
         _, outs = jax.lax.scan(body, 0, (Ad, Bd))
         return outs

@@ -341,7 +341,7 @@ def _kernel_rows_fused(prm_ref, p_ref, bw_ref, out_ref,
     genome columns this row block can touch (round-5 fix for the
     sequential 3.6 ms S einsum + 537 MB HBM S round trip).
 
-    p_ref block: (1, G, 32, K) profile rows P[c, m] = mtx[a[m], c]
+    p_ref block: (1, G, K, 32) profile rows P[m, c] = mtx[a[m], c]
     (rows d*K..d*K+K-1); bw_ref block: (1, 1, G, WW) b codes of the
     window starting at column d*K + lw0 (out-of-range positions carry
     the all-zero one-hot code).  Band packing is a free diagonal
@@ -382,13 +382,20 @@ def _kernel_rows_fused(prm_ref, p_ref, bw_ref, out_ref,
         last_ref[...] = neg
         bc_ref[...] = neg
 
-    # in-kernel S build: one small MXU contraction per pair
+    # in-kernel S build: one small MXU contraction per pair.
+    # HIGHEST precision: the one-hot row select is exact only if the
+    # MXU passes reconstruct full f32 (default 1-pass bf16 rounds the
+    # mtx values).  Measured round 5: these per-pair dots are
+    # latency-bound, costing about what the batched XLA einsum did --
+    # the fused path wins on HBM (no 537 MB S image), not time
+    # (14.6 vs 15.4 GCUPS); see PERF.md.
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (32, WW), 0)
     for g in range(G):
         oh = (bw_ref[0, 0, g, :][None, :] == c_iota).astype(jnp.float32)
         s_scr[g] = jax.lax.dot_general(
             p_ref[0, g], oh,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
 
     def row(i, carry):
@@ -469,7 +476,7 @@ def _prepare_and_launch_fused(a_batch, b_batch, prm, mtx, *, La_p, Wp,
         mtx.astype(jnp.float32))
     a_pad = jnp.pad(a_batch, ((0, 0), (0, La_p - Ma)),
                     constant_values=dim)
-    P = mtx32[a_pad].transpose(0, 2, 1).reshape(BG, g, 32, La_p)
+    P = mtx32[a_pad].reshape(BG, g, La_p, 32)
     # b windows per row block: column d*K + lw0 + w (out-of-range -> 32,
     # whose one-hot row of mtx32 is zero)
     PADW = K + max(0, -lw0) + 8
@@ -489,7 +496,7 @@ def _prepare_and_launch_fused(a_batch, b_batch, prm, mtx, *, La_p, Wp,
         in_specs=[
             pl.BlockSpec((1, NPLANE, g, 128), lambda b, d: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g, 32, K), lambda b, d: (b, 0, 0, d),
+            pl.BlockSpec((1, g, K, 32), lambda b, d: (b, 0, d, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, g, WW), lambda b, d: (b, d, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -557,7 +564,9 @@ def pallas_pairwise_scores(a_batch, b_batch, la, lb, mtx,
         (Bp // grp, NPLANE, grp, 128)).copy()
 
     import os
-    fused = os.environ.get("PRRN_PW_FUSED", "1") != "0" and dim <= 32
+    # default: the batched-einsum S build (fastest measured; the fused
+    # build trades ~6% time for O(1) S memory -- PERF.md r5)
+    fused = os.environ.get("PRRN_PW_FUSED", "0") == "1" and dim <= 32
     launch = _prepare_and_launch_fused if fused else _prepare_and_launch
     out = launch(a_batch, b_batch, prm, mtx,
                  La_p=La_p, Wp=Wp, dim=dim, lw0=lw0,
