@@ -118,6 +118,8 @@ def _apply_sshp(args) -> None:
 
 
 def prrn_main(argv=None) -> int:
+    from .ops.frontier import maybe_init_distributed
+    maybe_init_distributed()   # multi-host DCN (no-op 1-host)
     p = argparse.ArgumentParser(
         prog="prrn",
         description="TPU-native multiple sequence alignment with "
@@ -328,6 +330,8 @@ def _aln_catalog(args) -> int:
 
 
 def aln_main(argv=None) -> int:
+    from .ops.frontier import maybe_init_distributed
+    maybe_init_distributed()   # multi-host DCN (no-op 1-host)
     if argv is None:
         argv = sys.argv[1:]
     # a bare `-L` (reference local mode) must not consume the next

@@ -422,12 +422,50 @@ def _pack_profiles(A: Msa, B: Msa, mtx, la_max: int, lb_max: int,
     return CA, CB, ea0, eb0
 
 
-def _pack_cols(A: Msa, B: Msa, pa: int, pb: int, la_max: int, lb_max: int):
+def uniform_side(msa: Msa) -> bool:
+    """Gap-free group: internal gap columns are absent, so every
+    member's gap-run length is identical along any DP path (runs only
+    come from DP-inserted gaps, which advance uniformly).  The exact
+    pairwise crg accounting then collapses to weighted column sums --
+    the reference's no-internal-gap DPunit closed form (fwd2c.cc
+    DPunit vs DPunit_nv; tier auto-selection maln2.cc:43-60
+    advised_sim2).  Collapsing turns the (an*bn) per-cell gap-open
+    work and the 10*an VMEM gap-run state into O(1) per slot."""
+    import os
+    if os.environ.get("PRRN_GROUP_UNIFORM", "1") == "0":
+        return False
+    from .. import alphabet as ab
+    return msa.many > 1 and bool(np.all(msa.codes > ab.GAP))
+
+
+def effective_members(msa: Msa) -> int:
+    return 1 if uniform_side(msa) else msa.many
+
+
+def _pack_cols(A: Msa, B: Msa, pa: int, pb: int, la_max: int, lb_max: int,
+               ua: bool = False, ub: bool = False):
     """Padded per-column gap/thickness arrays + member weights
-    (the non-image operands of the wavefront kernel)."""
+    (the non-image operands of the wavefront kernel).  ``ua``/``ub``
+    collapse a gap-free side to one effective member (see
+    uniform_side): every member factor enters the crg sums linearly,
+    so the weighted column sums are exact."""
     na_a, gda, pga = _col_arrays(A)
     na_b, gdb, pgb = _col_arrays(B)
     an, bn = A.many, B.many
+    w_a = (A.weight if A.weight is not None else np.ones(an)) \
+        .astype(np.float64)
+    w_b = (B.weight if B.weight is not None else np.ones(bn)) \
+        .astype(np.float64)
+    if ua:
+        na_a = (na_a * w_a).sum(1, keepdims=True).astype(np.float32)
+        gda = (gda * w_a).sum(1, keepdims=True).astype(np.float32)
+        pga = (pga * w_a).sum(1, keepdims=True).astype(np.float32)
+        an = 1
+    if ub:
+        na_b = (na_b * w_b).sum(1, keepdims=True).astype(np.float32)
+        gdb = (gdb * w_b).sum(1, keepdims=True).astype(np.float32)
+        pgb = (pgb * w_b).sum(1, keepdims=True).astype(np.float32)
+        bn = 1
 
     def padc(x, rows, cols):
         out = np.zeros((rows, cols), np.float32)
@@ -451,9 +489,11 @@ def _pack_cols(A: Msa, B: Msa, pa: int, pb: int, la_max: int, lb_max: int):
     cfb = pad1(B.cfq[:B.length + 1], lb_max + 1)
     efb = pad1(B.efq[:B.length + 1], lb_max + 1)
     wa = np.zeros(pa, np.float32)
-    wa[:an] = (A.weight if A.weight is not None else np.ones(an))
+    wa[:an] = 1.0 if ua else (
+        A.weight if A.weight is not None else np.ones(an))
     wb = np.zeros(pb, np.float32)
-    wb[:bn] = (B.weight if B.weight is not None else np.ones(bn))
+    wb[:bn] = 1.0 if ub else (
+        B.weight if B.weight is not None else np.ones(bn))
     return na_a, gda, pga, na_b, gdb, pgb, cfa, efa, cfb, efb, wa, wb
 
 
@@ -483,7 +523,9 @@ def group_align(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
     is retried once with a full-width band.
     """
     La, Lb = A.length, B.length
-    an, bn = A.many, B.many
+    ua, ub = uniform_side(A), uniform_side(B)
+    an = 1 if ua else A.many
+    bn = 1 if ub else B.many
     if wdw is None:
         wdw = stripe(La, Lb, -60)
     lw, up = wdw.lw, wdw.up
@@ -504,12 +546,12 @@ def group_align(A: Msa, B: Msa, mtx: np.ndarray, u: float, v: float,
                                       spb=spb, scale=scale)
     pa = max(an_pad, an)
     pb = max(an_pad, bn)
-    cols = _pack_cols(A, B, pa, pb, la_max, lb_max)
+    cols = _pack_cols(A, B, pa, pb, la_max, lb_max, ua=ua, ub=ub)
 
     ls3 = ls >= 3
     v2divv1 = (v + (u - u1) * k1) / v if ls3 else 0.0
     u2divu1 = (u1 / u) if ls3 else 0.0
-    if _pallas_batch_enabled(None):
+    if _pallas_batch_enabled(None) and _pallas_fits(pa, pb, nslot):
         from . import pallas_group as pg
         nslot_p = _bucket(nslot, 128)
         nsteps_p = _bucket(nsteps, pg.DSTEP)
@@ -864,6 +906,16 @@ def _traceback_wave(dirs: np.ndarray, opens: np.ndarray, La: int, Lb: int,
 USE_PALLAS_GROUP = None
 
 
+def _pallas_fits(pa: int, pb: int, nslot: int) -> bool:
+    """Wide-group VMEM guard: the Pallas kernel's crg member-pair
+    blobs are (pa*pb, nslot) sublane arrays and the gap-run state is
+    ~20*(pa+pb) rows; past ~6 MB the kernel spills or fails to fit, so
+    wide groups fall back to the lax.scan engine (which streams the
+    same O(an*bn) work through HBM)."""
+    est = (pa * pb + 20 * (pa + pb)) * _bucket(nslot, 128) * 4
+    return est <= 6 * 1024 * 1024
+
+
 def _pallas_batch_enabled(mesh) -> bool:
     if mesh is not None:
         return False
@@ -899,7 +951,8 @@ def group_align_batch(pairs, mtx, u: float, v: float, sh: int,
     if not pairs:
         return []
     an_pad, len_pad = pads
-    an_pad = max([an_pad] + [m.many for ab_ in pairs for m in ab_])
+    an_pad = max([an_pad] + [effective_members(m)
+                             for ab_ in pairs for m in ab_])
     la_max = lb_max = _bucket(max([len_pad] +
                                   [m.length for ab_ in pairs for m in ab_]))
     wdws = [stripe(A.length, B.length, sh) for A, B in pairs]
@@ -916,7 +969,8 @@ def group_align_batch(pairs, mtx, u: float, v: float, sh: int,
         ins.append(_pack_inputs(A, B, mtx, u, v, w, an_pad, la_max, lb_max,
                                 spb=spb, scale=scale))
     ins.extend([ins[0]] * pad_n)
-    if _pallas_batch_enabled(mesh):
+    if _pallas_batch_enabled(mesh) and _pallas_fits(an_pad, an_pad,
+                                                     nslot):
         # Pallas wavefront engine (ops/pallas_group.py): identical
         # planes, VMEM-resident state, no per-step XLA gathers
         from . import pallas_group as pg
@@ -977,7 +1031,8 @@ def _pack_inputs(A: Msa, B: Msa, mtx, u, v, wdw, an_pad, la_max, lb_max,
     runs on device)."""
     CA, CB, ea0, eb0 = _pack_profiles(A, B, mtx, la_max, lb_max,
                                       spb=spb, scale=scale)
-    cols = _pack_cols(A, B, an_pad, an_pad, la_max, lb_max)
+    cols = _pack_cols(A, B, an_pad, an_pad, la_max, lb_max,
+                      ua=uniform_side(A), ub=uniform_side(B))
     return (CA, CB, ea0, eb0, *cols,
             np.int32(A.length), np.int32(B.length),
             np.int32(wdw.lw), np.int32(wdw.up),

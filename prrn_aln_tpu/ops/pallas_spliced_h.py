@@ -945,7 +945,6 @@ def _build_launcher(M, N, lw, up, a_exgr, prm, pen, OFF, PADQ, LL,
     @jax.jit
     def run(TF, L6, R0, QPM, QP1, API, E1, H0V, H0D):
         ev, jd, Vw, Dw = call(TF, L6, R0, QPM, QP1, API, E1)
-        ev2 = ev.reshape(TP, MRP)[:T, :MR].astype(jnp.int16)
         Vw2 = Vw.reshape(TP, MRP)
         Dw2 = Dw.reshape(TP, MRP)
         # final band arrays from the per-wave planes (scan epilogue,
@@ -960,7 +959,7 @@ def _build_launcher(M, N, lw, up, a_exgr, prm, pen, OFF, PADQ, LL,
         mc_ = jnp.clip(m_last, 0, MRP - 1)
         bandV = jnp.where(touched, Vw2[tw, mc_], H0V)
         bandD = jnp.where(touched, Dw2[tw, mc_], H0D)
-        return bandV, bandD, ev2, jd
+        return bandV, bandD, ev, jd
 
     return run
 
@@ -982,7 +981,7 @@ def sweep_h_pallas(M, N, lw, up, a_exg, b_exg, lcl, H0np, qprof, b,
                    exin, ipen, prm, api_arr, e1pre, e1pre_t):
     """Pallas forwardH sweep.  Same contract as
     spliced_h_jax._sweep_h but takes host-side numpy inputs; returns
-    (bandV, bandD, evs(int16 (T, MR)), jd view, t_min)."""
+    (bandV, bandD, raw device event/junction planes, t_min)."""
     a_exgl, a_exgr = a_exg
     t_min = 3 + max(3 + lw, 1)
     t_max = 3 * M + min(3 * M + up, N)
@@ -1006,8 +1005,188 @@ def sweep_h_pallas(M, N, lw, up, a_exg, b_exg, lcl, H0np, qprof, b,
     E1 = np.zeros((1, 8), np.float32)
     if e1pre is not None:
         E1[0, :5] = np.asarray(e1pre, np.float32)
-    bandV, bandD, ev2, jd = run(
+    bandV, bandD, ev_raw, jd_raw = run(
         pk["TF"], pk["L6"], pk["R0"], pk["QPM"], pk["QP1"],
         pk["API"], E1, np.asarray(H0np["V"], np.float32),
         np.asarray(H0np["D"], np.int32))
-    return bandV, bandD, ev2, _JdView(jd), t_min
+    return bandV, bandD, ev_raw, jd_raw, t_min
+
+
+# --------------------------------------------------------------------
+# device traceback walk
+# --------------------------------------------------------------------
+
+KMAX = 4096        # knot capacity (a junction event appends <= 3)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _device_walk(evs, jdw, t_min, M, N, om, on):
+    """`spliced_h_jax._walk_h` as a device `lax.while_loop` over the
+    wave-layout event planes, so the 36 MB plane fetch never happens:
+    only the ~hundreds-of-entries knot list crosses the tunnel.
+
+    evs (T, SUB, LANE) i32; jdw (T, 4, SUB, LANE) i32.  Returns
+    (kn_m, kn_n (KMAX,), count, m_final, n_final, overflow)."""
+    T = evs.shape[0]
+    MR = M + 1
+    MAXIT = 6 * (M + N + 8)
+    I = jnp.int32
+
+    def ev_at(mm, nn):
+        ti = 3 * mm + nn - t_min
+        ok = (mm >= 1) & (mm < MR) & (ti >= 0) & (ti < T)
+        tic = jnp.clip(ti, 0, T - 1)
+        mc = jnp.clip(mm, 0, MR - 1)
+        e = evs[tic, mc // LANE, mc % LANE]
+        return jnp.where(ok, e, I(-1))
+
+    def jd_at(mm, nn, k):
+        ti = jnp.clip(3 * mm + nn - t_min, 0, T - 1)
+        mc = jnp.clip(mm, 0, MR - 1)
+        return jdw[ti, k, mc // LANE, mc % LANE]
+
+    def notdiag(mm, nn):
+        """host cls_at(mm, nn) != 'diag' (init-row records are never
+        diag; missing cells decay to dead/vert)."""
+        e2 = ev_at(mm, nn)
+        return (mm <= 0) | (e2 < 0) | ((e2 & 3) != 0)
+
+    def cond(c):
+        m, n, st, ki, km, kn, it, stop = c
+        return (~stop) & (it < MAXIT)
+
+    def body(c):
+        m, n, st, ki, km, kn, it, stop = c
+        e = ev_at(m, n)
+        halt = (m <= 0) | (e < 0)
+
+        w = e & 3
+        jxh = (e & EVH_JXH) != 0
+        jxf = (e & EVH_JXF) != 0
+        jxg = (e & EVH_JXG) != 0
+        sj = (e & EVH_SJ) != 0
+        csh = (e & EVH_CSH) != 0
+        is0 = st == 0
+        is1 = st == 1
+        is2 = st == 2
+        b_jxh = is0 & (w == 0) & jxh
+        b_sj = is0 & (w == 0) & (~jxh) & sj
+        b_dg = is0 & (w == 0) & (~jxh) & (~sj)
+        b_sw = is0 & (w != 0)
+        b_jxf = is1 & jxf
+        b_h = is1 & (~jxf)
+        b_jxg = is2 & jxg
+        b_v = is2 & (~jxg) & (~is0) & (~is1)
+
+        ksel = jnp.where(b_jxh, I(0),
+                         jnp.where(b_sj, I(3),
+                                   jnp.where(b_jxf, I(1), I(2))))
+        jdv = jd_at(m, n, ksel)
+
+        hk = (e >> 5) & 3
+        vk = (e >> 3) & 3
+        hstep = jnp.where(hk == 2, I(2), jnp.where(hk == 3, I(3),
+                                                   I(1)))
+        vstep = jnp.where(vk == 1, I(2), jnp.where(vk == 2, I(1),
+                                                   I(0)))
+
+        nd_dg = notdiag(m - 1, n - 3)
+        nd_cs = notdiag(m - 1, jdv - 3)
+
+        # appends (host order: (m,n) then (m,jd) then cs target)
+        a1c = (~halt) & (b_jxh | b_jxf | b_jxg | b_sj
+                         | (b_dg & nd_dg))
+        a1m = jnp.where(b_sj | b_dg, m - 1, m)
+        a1n = jnp.where(b_sj, jdv, jnp.where(b_dg, n - 3, n))
+        a2c = (~halt) & (b_jxh | b_jxf | b_jxg)
+        a3c = (~halt) & b_jxh & csh & nd_cs
+
+        def push(kmv, knv, kiv, cc, mm, nn):
+            kic = jnp.clip(kiv, 0, KMAX - 1)
+            kmv = kmv.at[kic].set(jnp.where(cc, mm, kmv[kic]))
+            knv = knv.at[kic].set(jnp.where(cc, nn, knv[kic]))
+            return kmv, knv, kiv + cc.astype(I)
+
+        km, kn, ki = push(km, kn, ki, a1c, a1m, a1n)
+        km, kn, ki = push(km, kn, ki, a2c, m, jdv)
+        km, kn, ki = push(km, kn, ki, a3c, m - 1, jdv - 3)
+
+        # next position / state
+        m2 = jnp.where(b_jxh & csh, m - 1,
+             jnp.where(b_sj | b_dg, m - 1,
+             jnp.where(b_v, m - 1, m)))
+        n2 = jnp.where(b_jxh, jnp.where(csh, jdv - 3, jdv),
+             jnp.where(b_sj, jdv,
+             jnp.where(b_dg, n - 3,
+             jnp.where(b_jxf | b_jxg, jdv,
+             jnp.where(b_h, jnp.where(hk == 0, n - 3, n - hstep),
+             jnp.where(b_v & (vk != 0), n - vstep, n))))))
+        st2 = jnp.where(b_sw, w,
+              jnp.where(b_jxf, I(1),
+              jnp.where(b_jxg, I(2),
+              jnp.where(b_h, jnp.where(hk == 0, I(1), I(0)),
+              jnp.where(b_v, jnp.where(vk == 0, I(2), I(0)),
+                        I(0))))))
+
+        m2 = jnp.where(halt, m, m2)
+        n2 = jnp.where(halt, n, n2)
+        st2 = jnp.where(halt, st, st2)
+        return (m2, n2, st2, ki, km, kn, it + 1, stop | halt)
+
+    km0 = jnp.zeros(KMAX, I)
+    kn0 = jnp.zeros(KMAX, I)
+    c0 = (I(om), I(on), I(0), I(0), km0, kn0, I(0),
+          jnp.bool_(False))
+    m, n, st, ki, km, kn, it, stop = jax.lax.while_loop(cond, body, c0)
+    return km, kn, ki, m, n, ki >= KMAX
+
+
+def walk_h_device(evs_raw, jdw_raw, t_min, om, on, M, N, lw, up,
+                  init0_k, initc, a_exgl, b_exgl, idx):
+    """Device walk + host init tail; same contract as
+    spliced_h_jax._walk_h.  Falls back to the host walker on knot
+    overflow (never seen in practice)."""
+    km, kn, ki, m_f, n_f, ovf = _device_walk(evs_raw, jdw_raw,
+                                             int(t_min), int(M),
+                                             int(N), int(om), int(on))
+    if bool(ovf):
+        from .spliced_h_jax import _walk_h
+        T = evs_raw.shape[0]
+        MR = M + 1
+        evs = np.asarray(evs_raw).reshape(T, -1)[:, :MR]
+        jd = np.asarray(jdw_raw)
+
+        class _J:
+            def __getitem__(self, key):
+                ti, mm = key
+                return jd[ti, :, mm // LANE, mm % LANE]
+        return _walk_h(evs, _J(), t_min, om, on, M, N, lw, up,
+                       init0_k, initc, a_exgl, b_exgl, idx)
+    cnt = int(ki)
+    kmv = np.asarray(km[:cnt])
+    knv = np.asarray(kn[:cnt])
+    knots = [(int(a), int(b)) for a, b in zip(kmv, knv)]
+    m, n = int(m_f), int(n_f)
+    # init-record tail (host; mirrors _walk_h's epilogue)
+    if m == 0:
+        nn = n
+        guard = 0
+        while guard < N + 8:
+            guard += 1
+            i = idx(nn)
+            if not (0 <= i < len(init0_k)):
+                break
+            k = int(init0_k[i])
+            if k > 0:
+                nn -= k
+                continue
+            break
+        knots.append((0, nn))
+    else:
+        r = n - 3 * m
+        rec = initc.get(r)
+        if rec is not None:
+            knots.append(rec)
+        else:
+            knots.append((m, max(n, 0)))
+    return knots

@@ -916,7 +916,8 @@ def forward_h_device(qprof, b, exin, ipen, prm, lw, up,
         import time as _time
         _dbg = os.environ.get("PRRN_H_TIME")
         _t0 = _time.time()
-        bandV, bandD, evs_d, jdons, t_min = sweep_h_pallas(
+        from .pallas_spliced_h import walk_h_device
+        bandV, bandD, ev_raw, jd_raw, t_min = sweep_h_pallas(
             M, N, lw, up, exga, exgb, lcl, H0np, qprof, b, exin,
             ipen, prm, api_arr, e1pre, e1pre_t)
         if _dbg:
@@ -926,14 +927,19 @@ def forward_h_device(qprof, b, exin, ipen, prm, lw, up,
             _t0 = _time.time()
         fHV = np.asarray(bandV).astype(np.float64)
         fHD = np.asarray(bandD)
-        evs = np.asarray(evs_d)
         if _dbg:
-            print("  fetch (%.1f MB): %.2fs"
-                  % (evs.nbytes / 1e6, _time.time() - _t0),
+            print("  band fetch: %.2fs" % (_time.time() - _t0),
                   flush=True)
-        return _finish_h(fHV, fHD, evs, jdons, t_min, M, N, lw, up,
+
+        def walker(om, on):
+            # device while_loop traceback: the 36 MB event planes
+            # never cross the tunnel (ops/pallas_spliced_h)
+            return walk_h_device(ev_raw, jd_raw, t_min, om, on, M, N,
+                                 lw, up, init0_k, initc, a_exgl,
+                                 b_exgl, idx)
+        return _finish_h(fHV, fHD, None, None, t_min, M, N, lw, up,
                          exga, exgb, lcl, exin, prm, init0_k, initc,
-                         idx, W)
+                         idx, W, walker=walker)
 
     A1, A2, e3idx, r1idx = _codon_tables(b)
     pack = dict(
@@ -985,7 +991,7 @@ def forward_h_device(qprof, b, exin, ipen, prm, lw, up,
 
 
 def _finish_h(fHV, fHD, evs, jdons, t_min, M, N, lw, up, exga, exgb,
-              lcl, exin, prm, init0_k, initc, idx, W):
+              lcl, exin, prm, init0_k, initc, idx, W, walker=None):
     """Host lastH (fwd2h.h:203-268) + traceback walk over the fetched
     event planes; shared by the scan and Pallas sweep engines."""
     import os
@@ -1079,8 +1085,11 @@ def _finish_h(fHV, fHD, evs, jdons, t_min, M, N, lw, up, exga, exgb,
         print("  lastH host: %.2fs" % (_time.time() - _t0), flush=True)
         _t0 = _time.time()
     om, on = orig.get(best_r, (M, m3 + best_r))
-    back = _walk_h(evs, jdons, t_min, om, on, M, N, lw, up, init0_k,
-                   initc, a_exgl, b_exgl, idx)
+    if walker is not None:
+        back = walker(om, on)
+    else:
+        back = _walk_h(evs, jdons, t_min, om, on, M, N, lw, up,
+                       init0_k, initc, a_exgl, b_exgl, idx)
     if _dbg:
         print("  walk host: %.2fs" % (_time.time() - _t0), flush=True)
     knots.extend(back)
