@@ -50,6 +50,8 @@ def _out(msa, fmt: str, path=None, markeij: int = 0):
 
 def _emit(msa, args):
     """prrn output modes (Msa::output, prrn5.cc:1738-1806)."""
+    if getattr(args, "ps", False):
+        msa = io.tree_sorted(msa)
     if args.O & 1:
         _out(msa, args.F, args.o,
              markeij=(2 if getattr(args, "ph", False)
@@ -176,8 +178,24 @@ def prrn_main(argv=None) -> int:
     p.add_argument("-s", dest="srcdir", default=None, metavar="DIR",
                    help="directory containing the input files "
                         "(reference -s, iolib setdfn)")
+    p.add_argument("-ps", action="store_true", dest="ps",
+                   help="sort output rows by guide-tree leaf order "
+                        "(reference BY_TREE phylsort, prrn5.cc:1607)")
+    p.add_argument("-V", action="store_true", dest="verbose",
+                   help="per-pass WSP progress lines on stderr "
+                        "(reference MONIT prompt, prrn5.cc:772-780)")
+    p.add_argument("--prntgap", default=None, metavar="FILE",
+                   help="dump the per-member gap-structure snapshot "
+                        "(IterMsa::prntgap, prrn5.cc:287)")
+    p.add_argument("--readgap", default=None, metavar="FILE",
+                   help="rebuild the input alignment from a gap "
+                        "snapshot before refining (IterMsa::readgap, "
+                        "prrn5.cc:294)")
     args = p.parse_args(argv)
     args.inputs = _resolve_inputs(args.inputs, args.srcdir)
+    if args.verbose:
+        import os
+        os.environ["PRRN_PROGRESS"] = "1"
     _apply_sshp(args)
     from .utils.runstat import runstat, save_checkpoint, load_checkpoint
     runstat.setfmessg(args.E)
@@ -251,6 +269,15 @@ def prrn_main(argv=None) -> int:
     elif hosts_present:
         from .pipeline import update_msa
         groups = [io.records_to_msa(recs, molc) for recs in per_file]
+        if args.readgap:
+            gl = io.read_gaps_list(args.readgap)
+            k = 0
+            regrouped = []
+            for g in groups:
+                regrouped.append(io.apply_gaps_list(
+                    g, gl[k:k + g.many]))
+                k += g.many
+            groups = regrouped
         msa = update_msa(groups, params=params, molc=molc, maxitr=args.S,
                          randseed=args.R, refine=args.U, nbatch=args.r,
                          divmode=divmode)
@@ -270,6 +297,8 @@ def prrn_main(argv=None) -> int:
     if args.ckpt:
         save_checkpoint(args.ckpt, msa, args.R, args.S)
     runstat.stamp(1)
+    if args.prntgap:
+        io.write_gaps_list(msa, args.prntgap)
     _emit(msa, args)
     runstat.conclude()
     return 0

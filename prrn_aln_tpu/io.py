@@ -631,3 +631,104 @@ def write_gde(msa: Msa, path=None) -> str:
     if path:
         Path(path).write_text(text)
     return text
+
+
+def write_gaps_list(msa: Msa, path=None) -> str:
+    """Per-member gap-structure snapshot in the reference GapsList
+    format (mgaps.cc:31 ``Gaps structure: %d`` + folded " gps gln"
+    pairs per member; prrn5.cc:287 IterMsa::prntgap).  Folded records
+    carry the member's ungapped residue position of each gap run; the
+    first pair is the record-count header, the last the terminator
+    (gln = -1, the reference's gaps_end sentinel)."""
+    lines = [f"Gaps structure: {msa.many}"]
+    for i in range(msa.many):
+        row = msa.codes[i]
+        runs = []
+        pos = 0           # ungapped position
+        run = 0
+        for c in row:
+            if c <= ab.GAP:
+                run += 1
+            else:
+                if run:
+                    runs.append((pos, run))
+                    run = 0
+                pos += 1
+        if run:
+            runs.append((pos, run))
+        rec = [(0, len(runs) + 2)] + runs + [(pos, -1)]
+        lines.append("".join(f" {g} {l}" for g, l in rec))
+    text = "\n".join(lines) + "\n"
+    if path:
+        Path(path).write_text(text)
+    return text
+
+
+def read_gaps_list(path) -> list[list[tuple[int, int]]]:
+    """Parse a GapsList snapshot (write_gaps_list / reference
+    GapsList(FILE*), mgaps.cc); returns per-member folded gap runs
+    [(ungapped_pos, len), ...] without header/terminator."""
+    toks = Path(path).read_text().split("\n", 1)
+    if not toks[0].startswith("Gaps structure:"):
+        raise ValueError("not a gaps structure file")
+    num = int(toks[0].split(":")[1])
+    out = []
+    for line in toks[1].splitlines()[:num]:
+        vals = [int(x) for x in line.split()]
+        nrec = vals[1]
+        pairs = [(vals[2 * k], vals[2 * k + 1]) for k in range(1, nrec - 1)]
+        out.append(pairs)
+    return out
+
+
+def apply_gaps_list(msa: Msa, glist) -> Msa:
+    """Rebuild aligned rows from ungapped member sequences + a gap
+    snapshot (prrn5.cc:294 IterMsa::readgap): every member's gaps are
+    re-inserted at the recorded ungapped positions."""
+    rows = []
+    for i in range(msa.many):
+        seq = msa.codes[i][msa.codes[i] > ab.GAP]
+        out = []
+        k = 0
+        runs = dict(glist[i]) if i < len(glist) else {}
+        for p, c in enumerate(seq):
+            if p in runs:
+                out.extend([ab.GAP] * runs[p])
+            out.append(int(c))
+        if len(seq) in runs:
+            out.extend([ab.GAP] * runs[len(seq)])
+        rows.append(out)
+    L = max(len(r) for r in rows)
+    codes = np.full((msa.many, L), ab.GAP, np.int64)
+    for i, r in enumerate(rows):
+        codes[i, :len(r)] = r
+    out = Msa(codes=codes, molc=msa.molc, names=list(msa.names),
+              weight=msa.weight, tgapf=msa.tgapf, eij=msa.eij)
+    return out
+
+
+def tree_sorted(msa: Msa) -> Msa:
+    """Row order by guide-tree leaf traversal (reference -ps output
+    order: Msa::phylsort, prrn5.cc:1607-1618 lstodr over the Ssrel
+    ktree)."""
+    from .msa import distance as _dmod, tree as _tmod
+    if msa.many <= 2:
+        return msa
+    d = _dmod.msa_distance_matrix(msa.codes)
+    t = _tmod.upgma(d, msa.many)
+    order = []
+
+    def lstodr(i):
+        if t.left[i] < 0:
+            order.append(int(i))
+        else:
+            lstodr(int(t.left[i]))
+            lstodr(int(t.right[i]))
+
+    lstodr(2 * msa.many - 2)
+    w = msa.weight[order] if msa.weight is not None else None
+    eij = ([msa.eij[k] for k in order]
+           if isinstance(msa.eij, list) else msa.eij)
+    return Msa(codes=msa.codes[order], molc=msa.molc,
+               names=[msa.names[k] for k in order], weight=w,
+               tgapf=msa.tgapf, eij=eij)

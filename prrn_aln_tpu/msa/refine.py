@@ -164,6 +164,11 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
         return RefineResult(msa, None, 0, 0)
     if crand is None:
         crand = GlibcRand(1)
+    import os as _os
+    import time as _time
+    _prog = _os.environ.get("PRRN_PROGRESS") == "1"
+    _t0 = _time.time()
+    _refined = 0.0
 
     m2u = None
     nu = n
@@ -391,6 +396,7 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
                     apply_candidate(c, skl_new)
                     applied = True
                     improvements += 1
+                    _refined += max(delta, 0.0)
                     nrep = 1
                 else:
                     # replay against the updated state (rir serial replay)
@@ -400,10 +406,11 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
                     wdw = stripe(c2["A"].length, c2["B"].length, sh)
                     s2, skl2 = group_align(c2["A"], c2["B"], mtx, u=u, v=v,
                                            wdw=wdw, pads=pads, spb=spb)
-                    acc2, _ = evaluate(c2, s2, skl2)
+                    acc2, d2 = evaluate(c2, s2, skl2)
                     if acc2:
                         apply_candidate(c2, skl2)
                         improvements += 1
+                        _refined += max(d2, 0.0)
                         nrep = 1
             if not applied:
                 nrep += len(cands)
@@ -427,6 +434,7 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
         if accept:
             apply_candidate(cand, new_skl)
             improvements += 1
+            _refined += max(delta, 0.0)
             nrep = 1
         else:
             nrep += 1
@@ -442,6 +450,18 @@ def refine_msa(msa: Msa, mtx: np.ndarray, u: float, v: float, sh: int,
             [full_codes[:, :lo], joint, full_codes[:, hi:]], axis=1)
     out = Msa(codes=joint, molc=msa.molc, names=names, weight=leaf_vol,
               tgapf=msa.tgapf, eij=full_eij)
+    if _prog:
+        # per-pass WSP progress line (reference MONIT prompt,
+        # prrn5.cc:772-780: "newsp <-- oldsp, N grp, reps, secs")
+        import sys as _sys
+        from . import wsp as _wsp
+        out.prepare(mtx.shape[0])
+        newsp = _wsp.wsp_score(out, mtx, v=v)
+        print("%s [ %d ] %d" % (names[0], out.many, out.length),
+              file=_sys.stderr)
+        print("  %8.1f <-- %8.1f, %2d grp, %4d rep, %2d sec"
+              % (newsp, newsp - _refined, nu, i,
+                 int(_time.time() - _t0)), file=_sys.stderr)
     return RefineResult(out, None, improvements, i)
 
 
@@ -460,6 +480,11 @@ def refine_with_consreg(msa: Msa, mtx: np.ndarray, u: float, v: float,
         return RefineResult(msa, None, 0, 0)
     if crand is None:
         crand = GlibcRand(1)
+    import os as _os
+    import time as _time
+    _prog = _os.environ.get("PRRN_PROGRESS") == "1"
+    _t0 = _time.time()
+    _refined = 0.0
     d = msa_distance_matrix(msa.codes)
     t = upgma(d, n)
     pairwt, leaf_vol, vol, cur = calc_pair_weights(t, full=True)

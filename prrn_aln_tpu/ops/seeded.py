@@ -125,7 +125,8 @@ def _sub_msa(m: Msa, lo: int, hi: int, dim: int) -> Msa:
 
 def seeded_align(A: Msa, B: Msa, mtx, u: float, v: float,
                  k: int = 12, trim: int | None = None,
-                 min_anchor: int = 32, sh: int = -50):
+                 min_anchor: int = 32, sh: int = -50,
+                 ls: int = 1, u1: float = 0.6, k1: int = 7):
     """Global alignment of a long similar pair via anchors.
 
     Returns (score, skl) where score is the exact re-scored piecewise
@@ -143,7 +144,8 @@ def seeded_align(A: Msa, B: Msa, mtx, u: float, v: float,
                for h in anchors]
     if not anchors:
         wdw = stripe(A.length, B.length, sh)
-        return gops.group_align(A, B, mtx, u=u, v=v, wdw=wdw)
+        return gops.group_align(A, B, mtx, u=u, v=v, wdw=wdw,
+                                ls=ls, u1=u1, k1=k1)
 
     dim = mtx.shape[0]
     # first pass: collect all two-sided pieces so the sub-DPs run as
@@ -162,9 +164,17 @@ def seeded_align(A: Msa, B: Msa, mtx, u: float, v: float,
             pa, pb = h.ai + h.length, h.bi + h.length
     sub_results = []
     if pieces:
-        max_len = max(m.length for ab_ in pieces for m in ab_)
-        sub_results = gops.group_align_batch(
-            pieces, mtx, u=u, v=v, sh=sh, pads=(1, max_len))
+        if ls >= 3:
+            # the batched engine is single-affine; route double-affine
+            # sub-DPs through group_align's ls3 lanes
+            sub_results = [gops.group_align(
+                pA, pB, mtx, u=u, v=v,
+                wdw=stripe(max(pA.length, 1), max(pB.length, 1), sh),
+                ls=ls, u1=u1, k1=k1) for pA, pB in pieces]
+        else:
+            max_len = max(m.length for ab_ in pieces for m in ab_)
+            sub_results = gops.group_align_batch(
+                pieces, mtx, u=u, v=v, sh=sh, pads=(1, max_len))
 
     score = 0.0
     moves = []          # merged move list over the whole pair
@@ -176,10 +186,10 @@ def seeded_align(A: Msa, B: Msa, mtx, u: float, v: float,
             score += s
             moves.extend(_skl_to_moves(skl))
         elif eb > pb:               # pure insertion in b
-            score += -(v + u * (eb - pb))
+            score += -_gapcost(eb - pb, u, v, ls, u1, k1)
             moves.extend([HORI_MV] * (eb - pb))
         elif ea > pa:               # pure deletion (gap in b)
-            score += -(v + u * (ea - pa))
+            score += -_gapcost(ea - pa, u, v, ls, u1, k1)
             moves.extend([VERT_MV] * (ea - pa))
         if h is not None:
             # anchor interior: exact diagonal, matrix diagonal scores
@@ -189,6 +199,18 @@ def seeded_align(A: Msa, B: Msa, mtx, u: float, v: float,
     skl = gops._moves_to_skl(np.array(moves, np.int8), A.length,
                              B.length)
     return score, skl
+
+
+def _gapcost(L: int, u: float, v: float, ls: int, u1: float,
+             k1: int) -> float:
+    """Run cost of an unbroken gap of length L: single affine, or the
+    better of the two affine lines under the -yl3 double-affine model
+    (long-gap open v2 = v + (u-u1)*k1, extend u1; fwd2c.h g2/f2
+    lanes)."""
+    c = v + u * L
+    if ls >= 3:
+        c = min(c, (v + (u - u1) * k1) + u1 * L)
+    return c
 
 
 DIAG_MV, VERT_MV, HORI_MV = 0, 1, 2

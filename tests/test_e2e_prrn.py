@@ -84,12 +84,11 @@ def test_prrn_pipeline(golden_file, refine, local_thr):
     assert list(golden) == msa.names          # same row order
     ident = _identity(msa, golden)
     assert ident > 0.98, f"column identity {ident:.4f}"
-    if refine:
-        # the refined result currently reproduces the reference output
-        # byte-for-byte; keep that strong check as a regression guard
-        exact = sum(1 for i, n in enumerate(msa.names)
-                    if io.decode_row(msa, i) == golden[n])
-        assert exact == msa.many, f"only {exact}/{msa.many} rows exact"
+    # both the progressive-only and the refined results reproduce the
+    # reference rows exactly (round-5 promotion of the prog7 golden)
+    exact = sum(1 for i, n in enumerate(msa.names)
+                if io.decode_row(msa, i) == golden[n])
+    assert exact == msa.many, f"only {exact}/{msa.many} rows exact"
 
     grows = [golden[n] for n in msa.names]
     gmsa = msa_from_strings(grows, alphabet.PROTEIN, msa.names)

@@ -125,3 +125,46 @@ def test_swg_colonies_vs_oracle():
         assert [(c.val, c.mlb, c.mrb, c.nlb, c.nrb) for c in mine] == \
             [(r["val"], r["mlb"], r["mrb"], r["nlb"], r["nrb"])
              for r in ref]
+
+
+def test_gaps_snapshot_roundtrip(tmp_path):
+    """prntgap/readgap (prrn5.cc:287-309): snapshot + rebuild."""
+    from prrn_aln_tpu import io, alphabet as ab
+    recs = io.sniff_and_read(
+        "/root/repo/tests/fixtures/golden_prrn_default7.txt")
+    msa = io.records_to_msa(recs, ab.PROTEIN)
+    f = tmp_path / "gaps.txt"
+    io.write_gaps_list(msa, f)
+    text = f.read_text()
+    assert text.startswith(f"Gaps structure: {msa.many}\n")
+    gl = io.read_gaps_list(f)
+    rebuilt = io.apply_gaps_list(msa, gl)
+    assert rebuilt.codes.shape == msa.codes.shape
+    assert (rebuilt.codes == msa.codes).all()
+
+
+def test_tree_sorted_output(tmp_path, capsys):
+    """-ps reorders rows by tree leaf order; content preserved."""
+    from prrn_aln_tpu import io, alphabet as ab
+    recs = io.sniff_and_read(
+        "/root/repo/tests/fixtures/golden_prrn_default7.txt")
+    msa = io.records_to_msa(recs, ab.PROTEIN)
+    ts = io.tree_sorted(msa)
+    assert sorted(ts.names) == sorted(msa.names)
+    for nm in msa.names:
+        i, j = msa.names.index(nm), ts.names.index(nm)
+        assert (msa.codes[i] == ts.codes[j]).all()
+
+
+def test_prrn_progress_lines(tmp_path, capsys, monkeypatch):
+    """-V emits the per-pass WSP progress line (prrn5.cc:772-780)."""
+    import subprocess, sys
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from prrn_aln_tpu.cli import prrn_main;"
+         "prrn_main(['-V','-o','/dev/null',"
+         "'/root/reference/sample/pas/ce13a17.fa'])"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert r.returncode == 0
+    assert "<--" in r.stderr and "grp," in r.stderr
