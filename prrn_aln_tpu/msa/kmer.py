@@ -280,3 +280,80 @@ def kmer_distance_matrix(seq_codes: list[np.ndarray], molc: int,
         for i in range(j):
             out[j * (j - 1) // 2 + i] = 100.0 * qdiv(kcs[i], kcs[j], molc)
     return out
+
+
+def kmer_knn_candidates(seq_codes: list[np.ndarray], molc: int,
+                        m_nearest: int = 8, n_hash: int = 48,
+                        band_rows: int = 2, bucket_cap: int = 128,
+                        seed: int = 0, **kw):
+    """Sub-quadratic M-nearest candidate discovery (the role of the
+    reference's block-index search, blksrc.cc:3260): MinHash-LSH over
+    the reduced-alphabet word streams proposes neighbour candidates in
+    O(N * hashes) work, candidates are ranked by estimated Jaccard,
+    and only the top ones get the exact qdiv distance -- no O(N^2)
+    matrix or allocation anywhere.
+
+    Returns (pairs, dist) where pairs is a sorted list of (i, j)
+    candidate edges (i < j) and dist maps each pair to the exact
+    100*qdiv distance.  Edge-selection exactness is soft (SURVEY A.8):
+    this decides which edges get DP-scored, not the scores.
+    """
+    n = len(seq_codes)
+    rng = np.random.default_rng(seed)
+    per_seed = _word_lists(seq_codes, molc, **kw)
+    # one flat word set per sequence; seeds get disjoint word ranges
+    offs = np.cumsum([0] + [V for _, V in per_seed])
+    words = []
+    for i in range(n):
+        ws = [np.asarray(rows[i], np.int64) + offs[s]
+              for s, (rows, _) in enumerate(per_seed)]
+        cat = np.concatenate(ws) if ws else np.zeros(0, np.int64)
+        words.append(np.unique(cat) if len(cat)
+                     else np.zeros(1, np.int64))
+
+    P = np.int64((1 << 61) - 1)
+    A = rng.integers(1, P, n_hash, dtype=np.int64)
+    Bv = rng.integers(0, P, n_hash, dtype=np.int64)
+    sig = np.empty((n, n_hash), np.int64)
+    for i in range(n):
+        w = words[i]
+        sig[i] = ((w[None, :] * A[:, None] + Bv[:, None]) % P).min(1)
+
+    nb = n_hash // band_rows
+    cands: list[set] = [set() for _ in range(n)]
+    for b in range(nb):
+        keys = {}
+        block = sig[:, b * band_rows:(b + 1) * band_rows]
+        for i in range(n):
+            keys.setdefault(block[i].tobytes(), []).append(i)
+        for members in keys.values():
+            if 1 < len(members) <= bucket_cap:
+                for i in members:
+                    cands[i].update(members)
+    for i in range(n):
+        cands[i].discard(i)
+        if not cands[i]:            # isolated: seed with a sample
+            cands[i].update(int(x) for x in
+                            rng.choice(n, min(2 * m_nearest, n - 1),
+                                       replace=False) if int(x) != i)
+
+    kcs = [count_kmers(s, molc, **kw) for s in seq_codes]
+    pairs = set()
+    dist = {}
+
+    def exact(i, j):
+        key = (min(i, j), max(i, j))
+        if key not in dist:
+            dist[key] = 100.0 * qdiv(kcs[i], kcs[j], molc)
+        return dist[key]
+
+    for i in range(n):
+        cl = list(cands[i])
+        if len(cl) > 3 * m_nearest:
+            # rank by signature agreement (Jaccard estimate)
+            agree = (sig[cl] == sig[i][None, :]).mean(1)
+            cl = [cl[k] for k in np.argsort(-agree)[:3 * m_nearest]]
+        ranked = sorted(cl, key=lambda j: exact(i, j))[:m_nearest]
+        for j in ranked:
+            pairs.add((min(i, j), max(i, j)))
+    return sorted(pairs), dist

@@ -41,17 +41,27 @@ def candidate_edges(seqs: list[np.ndarray], molc: int, mtx, u: float,
                     m_nearest: int = 8, mesh=None) -> list[Edge]:
     """Sparse edge list: k-mer nearest candidates scored by DP distance."""
     n = len(seqs)
-    kd = kmod.kmer_distance_matrix(seqs, molc)
+    import os
+    knn_thr = int(os.environ.get("PRRN_KNN_THRESHOLD", "2048"))
+    if n > knn_thr:
+        # sub-quadratic candidate discovery (MinHash-LSH, kmer.py;
+        # reference role blksrc.cc:3260 block-index M-nearest): no
+        # O(N^2) matrix is ever built
+        pairs, _ = kmod.kmer_knn_candidates(seqs, molc,
+                                            m_nearest=m_nearest)
+    else:
+        kd = kmod.kmer_distance_matrix(seqs, molc)
 
-    def kdist(i, j):
-        return kd[dmod.condensed_index(i, j)]
+        def kdist(i, j):
+            return kd[dmod.condensed_index(i, j)]
 
-    cand: set[tuple[int, int]] = set()
-    for i in range(n):
-        others = sorted((kdist(i, j), j) for j in range(n) if j != i)
-        for _, j in others[:m_nearest]:
-            cand.add((min(i, j), max(i, j)))
-    pairs = sorted(cand)
+        cand: set[tuple[int, int]] = set()
+        for i in range(n):
+            others = sorted((kdist(i, j), j)
+                            for j in range(n) if j != i)
+            for _, j in others[:m_nearest]:
+                cand.add((min(i, j), max(i, j)))
+        pairs = sorted(cand)
 
     # one batched DP-distance launch over the candidate pairs
     lens = [len(s) for s in seqs]
