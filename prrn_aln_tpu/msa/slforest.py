@@ -70,7 +70,6 @@ def candidate_edges(seqs: list[np.ndarray], molc: int, mtx, u: float,
     for k, s in enumerate(seqs):
         padded[k, :len(s)] = s
     from ..ops.window import stripe
-    from ..ops.pairwise import wavefront_scores
     B = len(pairs)
     ai = np.array([p[0] for p in pairs])
     bi = np.array([p[1] for p in pairs])
@@ -79,13 +78,26 @@ def candidate_edges(seqs: list[np.ndarray], molc: int, mtx, u: float,
     wdws = [stripe(lens[i], lens[j], sh) for i, j in pairs]
     lw = np.array([w.lw for w in wdws], np.int32)
     up = np.array([w.up for w in wdws], np.int32)
-    scores = wavefront_scores(
-        padded[ai], padded[bi], la, lb, lw, up, mtx,
-        np.full(B, u, np.float32), np.full(B, v, np.float32),
-        np.ones(B, np.float32), np.zeros((B, 4), bool),
-        nslot=int(max(w.width for w in wdws)),
-        nsteps=int((la + lb - 1).max()), dim=mtx.shape[0], local=False)
-    scores = np.asarray(scores)
+    import jax as _jax
+    if _jax.default_backend() == "tpu":
+        # edge pass on the production Pallas kernel; PRRN_EDGE_SCREEN=
+        # bf16 opts into the 1-pass-MXU score screen (edge-selection
+        # exactness is soft, SURVEY A.8; exact DP rescoring happens on
+        # whatever groups the forest later aligns)
+        from ..ops.pallas_pairwise import pallas_pairwise_scores
+        lossy = os.environ.get("PRRN_EDGE_SCREEN") == "bf16"
+        scores = np.asarray(pallas_pairwise_scores(
+            padded[ai], padded[bi], la, lb, mtx, u, v,
+            lw=lw, up=up, lossy=lossy))
+    else:
+        from ..ops.pairwise import wavefront_scores
+        scores = np.asarray(wavefront_scores(
+            padded[ai], padded[bi], la, lb, lw, up, mtx,
+            np.full(B, u, np.float32), np.full(B, v, np.float32),
+            np.ones(B, np.float32), np.zeros((B, 4), bool),
+            nslot=int(max(w.width for w in wdws)),
+            nsteps=int((la + lb - 1).max()), dim=mtx.shape[0],
+            local=False))
     selfs = np.array([float(mtx[s, s].sum()) for s in seqs])
     edges = []
     for k, (i, j) in enumerate(pairs):

@@ -245,9 +245,10 @@ def _kernel_rows(prm_ref, s_ref, out_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("La_p", "Wp", "dim", "lw0", "interpret"))
+                   static_argnames=("La_p", "Wp", "dim", "lw0",
+                                    "interpret", "lossy"))
 def _prepare_and_launch(a_batch, b_batch, prm, mtx, *, La_p, Wp, dim, lw0,
-                        interpret=False):
+                        interpret=False, lossy=False):
     """Packed-S build (XLA) + row-kernel launch (single XLA program).
 
     a_batch (Bp, Ma) / b_batch (Bp, Mb) int32 codes; prm
@@ -264,7 +265,11 @@ def _prepare_and_launch(a_batch, b_batch, prm, mtx, *, La_p, Wp, dim, lw0,
     Bp, Ma = a_batch.shape
     Mb = b_batch.shape[1]
     Np = _pad_to(max(Mb, Wp), 128)
-    hi = jax.lax.Precision.HIGHEST
+    # lossy: 1-pass bf16 MXU for the S build (the one-hot select then
+    # rounds mtx entries to bf16) -- the opt-in score-only screen for
+    # soft-exactness edge selection (SURVEY A.8); ~3x faster S einsum
+    hi = (jax.lax.Precision.DEFAULT if lossy
+          else jax.lax.Precision.HIGHEST)
     g = prm.shape[2]
     # pad the (tiny) code arrays with an out-of-range code so their
     # one-hot rows are all-zero: S comes out of the einsum already
@@ -514,7 +519,8 @@ def _prepare_and_launch_fused(a_batch, b_batch, prm, mtx, *, La_p, Wp,
 
 def pallas_pairwise_scores(a_batch, b_batch, la, lb, mtx,
                            u: float, v: float, tgapf: float = 1.0,
-                           exg=None, lw=None, up=None):
+                           exg=None, lw=None, up=None,
+                           lossy: bool = False):
     """Batched (optionally banded) affine-gap scores via the row kernel.
 
     a_batch (B, Ma) / b_batch (B, Mb) int32 codes (0-padded), la/lb (B,)
@@ -567,8 +573,9 @@ def pallas_pairwise_scores(a_batch, b_batch, la, lb, mtx,
     # default: the batched-einsum S build (fastest measured; the fused
     # build trades ~6% time for O(1) S memory -- PERF.md r5)
     fused = os.environ.get("PRRN_PW_FUSED", "0") == "1" and dim <= 32
+    kw2 = {} if fused else {"lossy": bool(lossy)}
     launch = _prepare_and_launch_fused if fused else _prepare_and_launch
     out = launch(a_batch, b_batch, prm, mtx,
                  La_p=La_p, Wp=Wp, dim=dim, lw0=lw0,
-                 interpret=jax.default_backend() != "tpu")
+                 interpret=jax.default_backend() != "tpu", **kw2)
     return out.reshape(Bp, 128)[:B, 0]
