@@ -83,3 +83,16 @@ def test_aln_spliced_full_bytes(tmp_path):
     # allow only the documented profile-gap tie-site lines
     assert len(diffs) <= 8, (len(diffs), diffs[:10])
     assert len(ml) == len(rl)
+
+
+def test_prrn_tree_sorted_bytes(tmp_path):
+    """-ps (BY_TREE phylsort): byte parity except the ;m member-index
+    lines, whose within-position ordering the reference inherits from
+    the pre-sort numbering (DEVIATIONS.md #11)."""
+    out = tmp_path / "out.txt"
+    assert prrn_main(["-ps", f"{PAS}/ce13a17.fa", "-o", str(out)]) == 0
+    mine = [l for l in out.read_text().splitlines()
+            if not l.startswith(";m")]
+    ref = [l for l in _golden("prrn_ps").splitlines()
+           if not l.startswith(";m")]
+    assert mine == ref
