@@ -615,6 +615,27 @@ def spliced_alignment_text_h(gs: GeneStructure, knots, genome: str,
         if markeij and msa.eij is not None:
             from ..io import _eij_marks
             marks = _eij_marks(msa)
+    # translated-row junction-codon marks (PrintAln reij, sqpr.cc:2266-
+    # 2272): the aa letter of the codon at each intron junction is
+    # colored by the junction's coding phase p = (coding length so
+    # far) % 3 -- the letter sits at the codon's center base, which
+    # lands on the donor side for p == 2 (exon last base) and on the
+    # acceptor side otherwise (p == 0: first acceptor codon center;
+    # p == 1 split codon: first acceptor base).
+    tmarks = {}
+    if markeij and gs is not None and len(gs.exons) > 1:
+        cum = 0
+        for k in range(len(gs.exons) - 1):
+            ex = gs.exons[k]
+            nx = gs.exons[k + 1]
+            cum += ex.right - ex.left
+            ph = cum % 3
+            if ph == 0:
+                tmarks[nx.left + 1] = 41
+            elif ph == 2:
+                tmarks[ex.right - 1] = 44
+            else:
+                tmarks[nx.left] = 42
     z = 0
     while z < ncol:
         # long all-intron stretches get skipped like the cDNA printer
@@ -629,7 +650,22 @@ def spliced_alignment_text_h(gs: GeneStructure, knots, genome: str,
                     z += skip
                     continue
         text += "\n"
-        tseg = "".join(timg[z: z + lpw]).ljust(lpw)
+        tcells = list("".join(timg[z: z + lpw]).ljust(lpw))
+        if tmarks:
+            for kk in range(z, min(z + lpw, ncol)):
+                bg = tmarks.get(int(gpos[kk]))
+                if bg is not None and tcells[kk - z].strip():
+                    if markeij == 2:
+                        col = {41: "red", 42: "green",
+                               44: "blue"}[bg]
+                        tcells[kk - z] = ('<b><font color="white" '
+                                          'style="background-color:'
+                                          f'{col}">{tcells[kk - z]}'
+                                          "</font></b>")
+                    else:
+                        tcells[kk - z] = (f"\x1b[37;{bg};1m"
+                                          f"{tcells[kk - z]}\x1b[0m")
+        tseg = "".join(tcells)
         gseg = "".join(gimg[z: z + lpw]).ljust(lpw)
         text += "         %s\n" % tseg
         text += "%8d %s| %s\n" % (gpos[z] + 1, gseg, gname)

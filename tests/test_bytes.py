@@ -80,8 +80,9 @@ def test_aln_spliced_full_bytes(tmp_path):
     mine, ref = out.read_text(), _golden("aln_yl2_pi")
     ml, rl = mine.splitlines(), ref.splitlines()
     diffs = [i for i, (a, b) in enumerate(zip(ml, rl)) if a != b]
-    # allow only the documented profile-gap tie-site lines
-    assert len(diffs) <= 8, (len(diffs), diffs[:10])
+    # exactly the two documented profile-gap tie sites (DEVIATIONS #9),
+    # two lines each (translation + genome row of the same block)
+    assert len(diffs) <= 4, (len(diffs), diffs[:10])
     assert len(ml) == len(rl)
 
 
