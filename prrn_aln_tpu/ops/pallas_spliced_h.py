@@ -964,19 +964,6 @@ def _build_launcher(M, N, lw, up, a_exgr, prm, pen, OFF, PADQ, LL,
     return run
 
 
-class _JdView:
-    """Walker-facing view of the (T, 4, SUB, LANE) junction planes:
-    jd[ti, m] -> np (4,) row, fetched lazily (only junction/sj events
-    touch it)."""
-
-    def __init__(self, jd):
-        self._jd = jd
-
-    def __getitem__(self, key):
-        ti, m = key
-        return np.asarray(self._jd[ti, :, m // LANE, m % LANE])
-
-
 def sweep_h_pallas(M, N, lw, up, a_exg, b_exg, lcl, H0np, qprof, b,
                    exin, ipen, prm, api_arr, e1pre, e1pre_t):
     """Pallas forwardH sweep.  Same contract as
