@@ -64,7 +64,7 @@ I32 = jnp.int32
 SUB = 8                  # sublanes: rows m live at (m // 128, m % 128)
 LANE = 128
 MRP = SUB * LANE         # max M + 1 supported by the (8,128) layout
-CH = 8                   # waves per grid step
+CH = 16                  # waves per grid step (tuned r5: sweep 0.43/0.27/0.36 s at CH 8/16/32 on the flagship)
 SHRT_MIN = -32768.0
 NSLOT = NCAND_H + 1
 
