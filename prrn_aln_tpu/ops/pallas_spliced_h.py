@@ -249,10 +249,17 @@ def _make_kernel(*, M, N, lw, up, a_exgr, prm, pen, OFF, PADQ, LL,
             return jnp.where(li == 0, b, a)
 
         def chain26(qp_ref, aa):
-            out = qp_ref[0]
-            for c in range(1, tron.TSIMD):
-                out = jnp.where(aa == c, qp_ref[c], out)
-            return out
+            """Per-row profile gather by aa code: 5-level binary
+            select tree (36 ops vs the 50-op equality chain; ~18
+            gathers per wave make this the sweep's largest op
+            class)."""
+            ai = aa.astype(I32)
+            bits = [(ai & (1 << k)) != 0 for k in range(5)]
+            t = [qp_ref[min(c, tron.TSIMD - 1)] for c in range(32)]
+            for lvl in range(5):
+                t = [jnp.where(bits[lvl], t[2 * k + 1], t[2 * k])
+                     for k in range(len(t) // 2)]
+            return t[0]
 
         def pen_f(length):
             lf = length.astype(F32)
