@@ -624,10 +624,14 @@ def aln_main(argv=None) -> int:
             "%.1f (u), (%5.2f %%)"
             % (score, tscr, fst["mch"], fst["mmc"], fst["gap"],
                fst["unp"], pct),
-            "ALIGNMENT   1 / 1",
         ]
+        if merged.eij is not None:
+            # merged intron-position block sits between the Score and
+            # ALIGNMENT lines (put_SigII via print2)
+            hdr += io._sigii_lines(merged)
+        hdr.append("ALIGNMENT   1 / 1")
         text = io.write_native_block(merged, header_lines=hdr,
-                                     trailer="\n\n")
+                                     trailer="\n\n", csym_min=2)
         if args.o:
             from pathlib import Path
             Path(args.o).write_text(text)

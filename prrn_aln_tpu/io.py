@@ -49,16 +49,20 @@ def _parse_exons(comments: list[str]) -> list[tuple[int, int]] | None:
 def read_fasta(path: str | Path) -> list[SeqRecord]:
     recs: list[SeqRecord] = []
     name, lines, comments = None, [], []
-    for raw in Path(path).read_text().splitlines():
-        if raw.startswith(">"):
+    ended = False            # `//` ends the entry (fgetseq); trailing
+    for raw in Path(path).read_text().splitlines():   # report tables
+        if raw.startswith(">"):                       # are skipped
             if name is not None:
                 recs.append(SeqRecord(name, "".join(lines), comments,
                                       _parse_exons(comments)))
             name = raw[1:].split()[0] if len(raw) > 1 else "seq"
             lines, comments = [], []
+            ended = False
+        elif raw.startswith("//"):
+            ended = True
         elif raw.startswith(";"):
             comments.append(raw)
-        elif raw.strip() and name is not None:
+        elif raw.strip() and name is not None and not ended:
             lines.append(re.sub(r"[\s\d]", "", raw))
     if name is not None:
         recs.append(SeqRecord(name, "".join(lines), comments,
@@ -367,7 +371,7 @@ def _csym_row(msa: Msa, start: int, width: int) -> str:
 
 def write_native_block(msa: Msa, path=None, width: int = 60,
                        markeij: int = 0, header_lines=None,
-                       trailer: str = "") -> str:
+                       trailer: str = "", csym_min: int = 3) -> str:
     """Reference-style block output: header, then 60-column blocks with
     1-based residue start positions and '| name' trailers
     (sqpr.cc native print mode).  ``markeij=1`` colors intron-position
@@ -414,10 +418,10 @@ def write_native_block(msa: Msa, path=None, width: int = 60,
                 disp = "".join(chars)
             out.append(f"{pos[i]:8d} {disp}| {msa.names[i]}")
             pos[i] += sum(1 for c in seg if c not in "- ")
-        if msa.many > 2:
+        if msa.many >= csym_min:
             out.append(_csym_row(msa, start, width))
         out.append("")
-    if out and out[-1] == "" and msa.many > 2:
+    if out and out[-1] == "" and msa.many >= csym_min:
         out.pop()                     # reference ends after the last row
     text = "\n".join(out) + "\n" + trailer
     if markeij == 2:

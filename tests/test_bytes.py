@@ -97,3 +97,12 @@ def test_prrn_tree_sorted_bytes(tmp_path):
     ref = [l for l in _golden("prrn_ps").splitlines()
            if not l.startswith(";m")]
     assert mine == ref
+
+
+def test_aln_single_pair_bytes(tmp_path):
+    """1:1 `aln A B` full print2 framing: header, PAM, FSTAT, merged
+    ;B/;b/;m intron block, 2-row consensus rows -- byte parity."""
+    out = tmp_path / "out.txt"
+    assert aln_main([f"{PAS}/ce13a1", f"{PAS}/ce13a2",
+                     "-o", str(out)]) == 0
+    assert out.read_text() == _golden("aln_pair11")
